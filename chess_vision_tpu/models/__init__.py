@@ -1,0 +1,57 @@
+"""Model zoo and dispatcher.
+
+`build_model(cfg)` mirrors the reference dispatcher
+(reference models/__init__.py:8-30): cfg["model"]["arch"] in
+{"vit" (default), "cnn", "square"}.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from chess_vision_tpu.models.cnn import ChessCNN  # noqa: F401
+from chess_vision_tpu.models.square import ChessSquareCNN  # noqa: F401
+from chess_vision_tpu.models.vit import ChessViT  # noqa: F401
+
+ARCHS = ("vit", "cnn", "square")
+
+
+def _compute_dtype(model_cfg: dict, cfg: dict) -> jnp.dtype:
+    mixed = cfg.get("training", {}).get("mixed_precision", True)
+    return jnp.bfloat16 if mixed else jnp.float32
+
+
+def build_model(cfg: dict) -> nn.Module:
+    """Build a chess recognition model from a full config dict."""
+    model_cfg = cfg["model"]
+    arch = model_cfg.get("arch", "vit")
+    dtype = _compute_dtype(model_cfg, cfg)
+
+    if arch == "vit":
+        return ChessViT(
+            img_size=model_cfg.get("input_size") or 224,
+            head_dropout=model_cfg.get("head_dropout", 0.0),
+            drop_path_rate=model_cfg.get("drop_path_rate", 0.0),
+            dtype=dtype,
+        )
+    if arch == "cnn":
+        return ChessCNN(
+            head_dropout=model_cfg.get("head_dropout", 0.0),
+            drop_path_rate=model_cfg.get("drop_path_rate", 0.0),
+            dtype=dtype,
+        )
+    if arch == "square":
+        return ChessSquareCNN(
+            square_overlap=model_cfg.get("square_overlap", 1.5),
+            square_input_size=model_cfg.get("square_input_size", 64),
+            head_dropout=model_cfg.get("head_dropout", 0.0),
+            dtype=dtype,
+        )
+    raise ValueError(f"Unknown architecture: {arch!r} (expected one of {ARCHS})")
+
+
+def param_count(params) -> int:
+    import jax
+
+    return sum(p.size for p in jax.tree.leaves(params))

@@ -1,0 +1,66 @@
+"""ChessSquareCNN: per-square MobileNetV4 classifier over overlapping crops.
+
+Capability parity with reference models/square.py: 64 overlapping 1.5x crops
+per board (here a matmul-based crop+resize op instead of a slice loop — see
+ops/square_crop.py), a shared MobileNetV4-small backbone with pinned BN stats,
+per-square type/color heads, and turn/castling from an MLP over the
+concatenated per-square features.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from chess_vision_tpu.fen import NUM_PIECE_COLORS, NUM_PIECE_TYPES
+from chess_vision_tpu.models.common import combine_type_color
+from chess_vision_tpu.models.layers import global_avg_pool_nhwc
+from chess_vision_tpu.models.mobilenet import MobileNetV4Backbone
+from chess_vision_tpu.ops.square_crop import crop_squares
+
+
+class ChessSquareCNN(nn.Module):
+    square_overlap: float = 1.5
+    square_input_size: int = 64
+    head_dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B = x.shape[0]
+        det = not train
+
+        crops = crop_squares(
+            x, overlap=self.square_overlap, out_size=self.square_input_size
+        )  # (B, 64, s, s, C)
+        crops = crops.reshape((B * 64,) + crops.shape[2:])
+
+        backbone = MobileNetV4Backbone(dtype=self.dtype, name="backbone")
+        feat = backbone(crops, train=train)            # (B*64, h, w, F)
+        features = global_avg_pool_nhwc(feat)          # (B*64, F)
+
+        drop = nn.Dropout(self.head_dropout)
+        dropped = drop(features, deterministic=det)
+        type_logits = nn.Dense(NUM_PIECE_TYPES, dtype=self.dtype,
+                               name="type_head")(dropped)
+        color_logits = nn.Dense(NUM_PIECE_COLORS, dtype=self.dtype,
+                                name="color_head")(dropped)
+        squares = combine_type_color(type_logits, color_logits)
+        squares = squares.reshape(B, -1)               # (B, 832)
+
+        # Global heads over concatenated per-square features.
+        global_feat = features.reshape(B, -1)          # (B, 64*F)
+        global_feat = drop(global_feat, deterministic=det)
+        global_feat = nn.Dense(64, dtype=self.dtype, name="global_fc")(global_feat)
+        global_feat = nn.relu(global_feat)
+        global_feat = drop(global_feat, deterministic=det)
+
+        return {
+            "squares": squares.astype(jnp.float32),
+            "turn": nn.Dense(1, dtype=self.dtype, name="turn_head")(
+                global_feat
+            ).astype(jnp.float32),
+            "castling": nn.Dense(4, dtype=self.dtype, name="castling_head")(
+                global_feat
+            ).astype(jnp.float32),
+        }
