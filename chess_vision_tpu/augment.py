@@ -1,0 +1,182 @@
+"""Device-side training augmentations (the TPU-native input path).
+
+The reference augments on CPU dataloader workers with torchvision
+(reference dataset.py:165-175): ColorJitter(brightness=contrast=saturation=0.3,
+hue=0.1) -> RandomGrayscale(p=0.1) -> GaussianBlur(k=5, sigma 0.1-1.5, p=0.2)
+-> Normalize. Here the same statistical recipe runs *on device*, jitted and
+fused into the train step: uint8 batches stream to HBM and a single compiled
+program does jitter/grayscale/blur/normalize — no CPU worker fleet, and
+augmentation randomness is jax.random key-threaded (reproducible, unlike the
+reference's unseeded torch transforms).
+
+Deliberately NO horizontal flip / random crop: both are label-destroying for
+chess boards (reference dataset.py:149-155).
+
+torchvision parity notes:
+  - ColorJitter applies all four adjustments in a random order; factors are
+    U[0.7,1.3] (brightness/contrast/saturation) and U[-0.1,0.1] (hue).
+  - adjust_contrast blends with the mean of the grayscale image;
+    adjust_saturation blends with the grayscale image; both clamp to [0,1].
+  - Grayscale uses ITU-R 601 weights (0.2989, 0.587, 0.114).
+  - GaussianBlur uses a 5x5 separable kernel with reflect padding.
+"""
+
+from __future__ import annotations
+
+import itertools
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_GRAY = jnp.asarray([0.2989, 0.587, 0.114], jnp.float32)
+
+# torchvision ColorJitter ranges for the reference's (0.3, 0.3, 0.3, 0.1).
+_BRIGHTNESS = (0.7, 1.3)
+_CONTRAST = (0.7, 1.3)
+_SATURATION = (0.7, 1.3)
+_HUE = (-0.1, 0.1)
+
+_PERMS = list(itertools.permutations(range(4)))  # 24 orderings of the 4 ops
+
+
+def _grayscale(img):
+    g = jnp.tensordot(img, _GRAY, axes=[[-1], [0]])
+    return g[..., None] * jnp.ones((3,), img.dtype)
+
+
+def _adjust_brightness(img, f):
+    return jnp.clip(img * f, 0.0, 1.0)
+
+
+def _adjust_contrast(img, f):
+    mean = jnp.mean(jnp.tensordot(img, _GRAY, axes=[[-1], [0]]))
+    return jnp.clip(f * img + (1.0 - f) * mean, 0.0, 1.0)
+
+
+def _adjust_saturation(img, f):
+    g = _grayscale(img)
+    return jnp.clip(f * img + (1.0 - f) * g, 0.0, 1.0)
+
+
+def _rgb_to_hsv(img):
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    maxc = jnp.maximum(jnp.maximum(r, g), b)
+    minc = jnp.minimum(jnp.minimum(r, g), b)
+    v = maxc
+    deltac = maxc - minc
+    s = jnp.where(maxc > 0, deltac / jnp.maximum(maxc, 1e-12), 0.0)
+    dsafe = jnp.maximum(deltac, 1e-12)
+    rc = (maxc - r) / dsafe
+    gc = (maxc - g) / dsafe
+    bc = (maxc - b) / dsafe
+    h = jnp.where(
+        maxc == r, bc - gc, jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc)
+    )
+    h = jnp.where(deltac > 0, h, 0.0)
+    h = (h / 6.0) % 1.0
+    return h, s, v
+
+
+def _hsv_to_rgb(h, s, v):
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - f * s)
+    t = v * (1.0 - (1.0 - f) * s)
+    i = i.astype(jnp.int32) % 6
+    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
+    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
+    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def _adjust_hue(img, shift):
+    h, s, v = _rgb_to_hsv(img)
+    return jnp.clip(_hsv_to_rgb((h + shift) % 1.0, s, v), 0.0, 1.0)
+
+
+def _gaussian_kernel_1d(sigma, size: int = 5):
+    x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return k / jnp.sum(k)
+
+
+def _gaussian_blur(img, sigma, size: int = 5):
+    """5x5 Gaussian blur with reflect padding (torchvision parity), HWC input.
+
+    Implemented as one depthwise conv (kernel is the separable outer product);
+    the Gaussian is symmetric so correlation == convolution.
+    """
+    k1 = _gaussian_kernel_1d(sigma, size)
+    k2 = jnp.outer(k1, k1)
+    pad = size // 2
+    x = jnp.pad(img, ((pad, pad), (pad, pad), (0, 0)), mode="reflect")[None]
+    kernel = jnp.tile(k2[:, :, None, None], (1, 1, 1, 3))  # HWIO depthwise
+    out = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=3,
+    )
+    return out[0]
+
+
+def _color_jitter(img, key):
+    kb, kc, ks, kh, kperm = jax.random.split(key, 5)
+    fb = jax.random.uniform(kb, (), minval=_BRIGHTNESS[0], maxval=_BRIGHTNESS[1])
+    fc = jax.random.uniform(kc, (), minval=_CONTRAST[0], maxval=_CONTRAST[1])
+    fs = jax.random.uniform(ks, (), minval=_SATURATION[0], maxval=_SATURATION[1])
+    fh = jax.random.uniform(kh, (), minval=_HUE[0], maxval=_HUE[1])
+
+    ops = (
+        lambda im: _adjust_brightness(im, fb),
+        lambda im: _adjust_contrast(im, fc),
+        lambda im: _adjust_saturation(im, fs),
+        lambda im: _adjust_hue(im, fh),
+    )
+
+    def make_branch(perm):
+        def branch(im):
+            for idx in perm:
+                im = ops[idx](im)
+            return im
+        return branch
+
+    branches = [make_branch(p) for p in _PERMS]
+    which = jax.random.randint(kperm, (), 0, len(_PERMS))
+    return jax.lax.switch(which, branches, img)
+
+
+def _augment_one(img, key):
+    """img: (H, W, 3) float32 in [0,1]."""
+    kj, kg_p, kb_p, kb_s = jax.random.split(key, 4)
+    img = _color_jitter(img, kj)
+    img = jnp.where(
+        jax.random.uniform(kg_p) < 0.1, _grayscale(img), img
+    )
+    sigma = jax.random.uniform(kb_s, (), minval=0.1, maxval=1.5)
+    img = jnp.where(
+        jax.random.uniform(kb_p) < 0.2, _gaussian_blur(img, sigma), img
+    )
+    return img
+
+
+def augment_batch(images_u8: jnp.ndarray, key) -> jnp.ndarray:
+    """(B, H, W, 3) uint8 -> augmented float32 in [0,1]."""
+    imgs = images_u8.astype(jnp.float32) / 255.0
+    keys = jax.random.split(key, imgs.shape[0])
+    return jax.vmap(_augment_one)(imgs, keys)
+
+
+def normalize(images: jnp.ndarray, mean, std, dtype=jnp.float32) -> jnp.ndarray:
+    """float [0,1] -> channel-normalized, in the model's compute layout."""
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    return ((images - mean) / std).astype(dtype)
+
+
+def preprocess_train(images_u8, key, mean, std, dtype=jnp.float32):
+    return normalize(augment_batch(images_u8, key), mean, std, dtype)
+
+
+def preprocess_eval(images_u8, mean, std, dtype=jnp.float32):
+    return normalize(images_u8.astype(jnp.float32) / 255.0, mean, std, dtype)

@@ -1,0 +1,214 @@
+"""Dataset and host-side input pipeline.
+
+ChessDataset mirrors the reference's two modes (reference dataset.py:184-271):
+manifest-CSV mode (auto-detected {root}/manifest.csv, full FEN + metadata
+columns) and filename-FEN mode (Kaggle; `legal` is 0 for every sample).
+
+The host side does only what the TPU cannot: file IO, JPEG decode, and the
+PIL bilinear resize to the model input size (kept on host for exact parity
+with the reference's eval transform, reference dataset.py:176-181 — PIL's
+antialiased resize is the likely fp-divergence point for checkpoint-parity
+evals). Everything downstream — augmentation, normalization — runs on device
+(see augment.py). Batches are delivered as uint8 NHWC numpy arrays by a
+double-buffered thread-pool loader, so decode overlaps device compute.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+from PIL import Image
+
+from chess_vision_tpu.fen import fen_to_labels, filename_to_fen, parse_full_fen
+
+IMAGE_EXTS = (".jpeg", ".jpg", ".png")
+
+
+class ChessDataset:
+    """Map-style dataset of board images + per-square labels."""
+
+    def __init__(
+        self,
+        root_dir: str,
+        max_samples: int | None = None,
+        manifest: str | None = None,
+        input_size: int = 256,
+    ):
+        self.root_dir = root_dir
+        self.input_size = input_size
+
+        if manifest is None:
+            manifest = os.path.join(root_dir, "manifest.csv")
+
+        if os.path.exists(manifest):
+            with open(manifest, newline="") as f:
+                self.samples = [dict(row) for row in csv.DictReader(f)]
+            self.use_manifest = True
+        else:
+            self.samples = [
+                {"filename": f}
+                for f in sorted(os.listdir(root_dir))
+                if f.lower().endswith(IMAGE_EXTS)
+            ]
+            self.use_manifest = False
+
+        if max_samples is not None:
+            self.samples = self.samples[:max_samples]
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def get_metadata(self, idx: int) -> dict:
+        """Raw manifest row (for eval grouping)."""
+        return self.samples[idx]
+
+    def labels_for(self, idx: int) -> dict:
+        sample = self.samples[idx]
+        fen = sample.get("fen")
+        if self.use_manifest and fen:
+            labels = parse_full_fen(fen)
+        else:
+            labels = {
+                "squares": fen_to_labels(filename_to_fen(sample["filename"])),
+                "turn": np.zeros(1, np.float32),
+                "castling": np.zeros(4, np.float32),
+            }
+        if self.use_manifest:
+            legal = sample.get("legal", "1") == "1"
+        else:
+            legal = False
+        labels["legal"] = np.asarray([1.0 if legal else 0.0], np.float32)
+        return labels
+
+    def load_image(self, idx: int) -> np.ndarray:
+        """uint8 (input_size, input_size, 3); PIL bilinear resize (see module doc)."""
+        path = os.path.join(self.root_dir, self.samples[idx]["filename"])
+        img = Image.open(path).convert("RGB")
+        if img.size != (self.input_size, self.input_size):
+            img = img.resize((self.input_size, self.input_size), Image.BILINEAR)
+        return np.asarray(img, dtype=np.uint8)
+
+    def __getitem__(self, idx: int):
+        return self.load_image(idx), self.labels_for(idx)
+
+
+def seeded_split(n: int, val_fraction: float, seed: int = 42):
+    """Deterministic train/val index split (reference train.py:260-269 keeps
+    val clean of train augmentation via a seeded split; augmentation placement
+    here is device-side so one dataset instance suffices)."""
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    val_size = int(n * val_fraction)
+    train_size = n - val_size
+    return perm[:train_size], perm[train_size:]
+
+
+class BatchLoader:
+    """Thread-pool batch loader with background prefetch.
+
+    Yields dicts of numpy arrays:
+      image (B, S, S, 3) uint8; squares (B, 64) int32;
+      turn (B, 1) f32; castling (B, 4) f32; legal (B, 1) f32.
+
+    When drop_remainder is False the final short batch is padded up to
+    batch_size by repeating the last sample, with `mask` marking real rows —
+    keeps shapes static for jit while preserving exact metric counts.
+    """
+
+    def __init__(
+        self,
+        dataset: ChessDataset,
+        indices,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        num_workers: int = 6,
+        drop_remainder: bool = False,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.indices = np.asarray(indices)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = max(num_workers, 1)
+        self.drop_remainder = drop_remainder
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.indices)
+        return n // self.batch_size if self.drop_remainder else -(-n // self.batch_size)
+
+    def _make_batch(self, pool, idx_chunk) -> dict:
+        n_real = len(idx_chunk)
+        if n_real < self.batch_size and not self.drop_remainder:
+            pad = np.full(self.batch_size - n_real, idx_chunk[-1])
+            idx_chunk = np.concatenate([idx_chunk, pad])
+        images = list(pool.map(self.dataset.load_image, idx_chunk))
+        labels = [self.dataset.labels_for(i) for i in idx_chunk]
+        mask = np.zeros(len(idx_chunk), np.float32)
+        mask[:n_real] = 1.0
+        return {
+            "image": np.stack(images),
+            "squares": np.stack([l["squares"] for l in labels]).astype(np.int32),
+            "turn": np.stack([l["turn"] for l in labels]),
+            "castling": np.stack([l["castling"] for l in labels]),
+            "legal": np.stack([l["legal"] for l in labels]),
+            "mask": mask,
+            "indices": np.asarray(idx_chunk, np.int64),
+            "n_real": n_real,
+        }
+
+    def __iter__(self):
+        order = self.indices
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            order = order[rng.permutation(len(order))]
+        self.epoch += 1
+
+        nb = len(self)
+        chunks = [
+            order[i * self.batch_size : (i + 1) * self.batch_size]
+            for i in range(nb)
+        ]
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer(pool):
+            try:
+                for chunk in chunks:
+                    if stop.is_set():
+                        return
+                    q.put(self._make_batch(pool, chunk))
+            except BaseException as e:  # surface worker errors to the consumer
+                q.put(e)
+            finally:
+                q.put(None)
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            t = threading.Thread(target=producer, args=(pool,), daemon=True)
+            t.start()
+            try:
+                while True:
+                    item = q.get()
+                    if item is None:
+                        return
+                    if isinstance(item, BaseException):
+                        raise item
+                    yield item
+            finally:
+                stop.set()
+                # drain so the producer can exit
+                while t.is_alive():
+                    try:
+                        q.get_nowait()
+                    except queue.Empty:
+                        pass
+                    t.join(timeout=0.1)

@@ -1,0 +1,175 @@
+"""Dataset generator CLI.
+
+Capability parity with the reference's orchestrator (datagen/generate.js):
+  - config mode: --config dataset.yaml with named splits, each mixing
+    position sources (game/random) with counts
+  - simple CLI mode: --out DIR --count N [--source random|game|mixed]
+  - seeded determinism: ALL randomness (positions, styles, flips, highlights)
+    is drawn in the main process before fanning out; workers render
+    deterministically from their assignments (reference generate.js:52-57)
+  - manifest.csv schema matches the reference exactly
+    (generate.js:99): filename,fen,legal,turn,castling,en_passant,
+    piece_count,has_highlight,style,flipped
+  - flipped boards store the flipped FEN so labels always match the image
+    (reference render-worker.js:14-24)
+
+Usage:
+    python -m chess_vision_tpu.datagen.generate --out data/train --count 1000
+    python -m chess_vision_tpu.datagen.generate --config datagen.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+from concurrent.futures import ProcessPoolExecutor
+
+import numpy as np
+
+from chess_vision_tpu.datagen.positions import Position, sample_positions
+from chess_vision_tpu.datagen.render import BoardStyle, random_style, render_board, save_board
+from chess_vision_tpu.fen import flip_fen
+
+MANIFEST_HEADER = [
+    "filename", "fen", "legal", "turn", "castling", "en_passant",
+    "piece_count", "has_highlight", "style", "flipped",
+]
+
+
+def _render_chunk(args) -> list[list]:
+    out_dir, size, fmt, items = args
+    rows = []
+    for index, pos_fields, style_fields, render_seed in items:
+        pos = Position(*pos_fields)
+        style = BoardStyle(*style_fields)
+        placement = pos.placement
+        label_placement = flip_fen(placement) if style.flipped else placement
+        img = render_board(
+            placement, style, size=size,
+            rng=np.random.default_rng(render_seed),
+        )
+        ext = "jpg" if fmt == "jpeg" else "png"
+        fname = f"{index:06d}.{ext}"
+        save_board(img, os.path.join(out_dir, fname), fmt=fmt)
+        label_fen = f"{label_placement} {pos.turn} {pos.castling} {pos.en_passant}"
+        rows.append([
+            fname, label_fen, int(pos.legal), pos.turn, pos.castling,
+            pos.en_passant, pos.piece_count,
+            int(style.highlight is not None), style.piece_style,
+            int(style.flipped),
+        ])
+    return rows
+
+
+def generate_split(
+    out_dir: str,
+    sources: list[tuple[str, int]],
+    size: int = 256,
+    seed: int = 42,
+    fmt: str = "jpeg",
+    highlight_pct: float = 0.6,
+    flip_pct: float = 0.3,
+    workers: int | None = None,
+) -> int:
+    """Generate one split. sources = [("random", n), ("game", m), ...]."""
+    rng = np.random.default_rng(seed)
+
+    positions: list[Position] = []
+    for source, count in sources:
+        positions.extend(sample_positions(rng, count, source=source))
+    order = rng.permutation(len(positions))
+    positions = [positions[i] for i in order]
+
+    # Pre-assign everything random in the main process (determinism).
+    assignments = []
+    for i, pos in enumerate(positions):
+        style = random_style(rng, highlight_pct=highlight_pct, flip_pct=flip_pct)
+        render_seed = int(rng.integers(0, 2**31 - 1))
+        pos_fields = (pos.placement, pos.turn, pos.castling, pos.en_passant,
+                      pos.legal)
+        style_fields = (style.piece_style, style.light, style.dark,
+                        style.flipped, style.highlight, style.jitter,
+                        style.scale, style.extras)
+        assignments.append((i, pos_fields, style_fields, render_seed))
+
+    os.makedirs(out_dir, exist_ok=True)
+    workers = workers or os.cpu_count() or 4
+    n_chunks = min(workers * 4, max(1, len(assignments)))
+    chunks = [assignments[i::n_chunks] for i in range(n_chunks)]
+    tasks = [(out_dir, size, fmt, chunk) for chunk in chunks if chunk]
+
+    rows: list[list] = []
+    if workers > 1 and len(assignments) > 64:
+        with ProcessPoolExecutor(max_workers=workers) as pool:
+            for chunk_rows in pool.map(_render_chunk, tasks):
+                rows.extend(chunk_rows)
+    else:
+        for task in tasks:
+            rows.extend(_render_chunk(task))
+
+    rows.sort(key=lambda r: r[0])
+    with open(os.path.join(out_dir, "manifest.csv"), "w", newline="") as f:
+        writer = csv.writer(f)
+        writer.writerow(MANIFEST_HEADER)
+        writer.writerows(rows)
+    return len(rows)
+
+
+def run_from_config(path: str) -> None:
+    import yaml
+
+    with open(path) as f:
+        cfg = yaml.safe_load(f)
+    rendering = cfg.get("rendering", {})
+    seed = rendering.get("seed", 42)
+    size = rendering.get("size", 256)
+    fmt = rendering.get("format", "jpeg")
+    highlight_pct = rendering.get("highlight_pct", 0.6)
+    flip_pct = rendering.get("flip_pct", 0.3)
+
+    for name, split in cfg["splits"].items():
+        sources = []
+        for source in split.get("sources", []):
+            sources.append((source["type"], source["count"]))
+        out_dir = split["dir"]
+        n = generate_split(
+            out_dir, sources, size=size, seed=seed, fmt=fmt,
+            highlight_pct=highlight_pct, flip_pct=flip_pct,
+        )
+        print(f"split {name}: {n} images -> {out_dir}")
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Generate synthetic chess boards")
+    parser.add_argument("--config", default=None, help="YAML config with splits")
+    parser.add_argument("--out", default=None, help="Output directory (simple mode)")
+    parser.add_argument("--count", type=int, default=1000)
+    parser.add_argument("--source", default="mixed",
+                        choices=["random", "game", "mixed"])
+    parser.add_argument("--size", type=int, default=256)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--format", default="jpeg", choices=["jpeg", "png"])
+    parser.add_argument("--workers", type=int, default=None)
+    args = parser.parse_args()
+
+    if args.config:
+        run_from_config(args.config)
+        return
+    if not args.out:
+        parser.error("--out is required without --config")
+
+    if args.source == "mixed":
+        n_game = int(args.count * 0.75)
+        sources = [("game", n_game), ("random", args.count - n_game)]
+    else:
+        sources = [(args.source, args.count)]
+    n = generate_split(
+        args.out, sources, size=args.size, seed=args.seed, fmt=args.format,
+        workers=args.workers,
+    )
+    print(f"{n} images -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""Position sources for synthetic dataset generation.
+
+Two sources, mirroring the reference's (datagen/positions.js):
+  - random_position: both kings on distinct squares, 0-28 extra random
+    pieces, no pawns on ranks 1/8, turn "w", castling "-", legal=False
+    (reference positions.js:13-58)
+  - game_positions: positions sampled from self-played pseudo-random games
+    using the built-in move generator (chess_vision_tpu.datagen.chessrules),
+    collecting every intermediate position with true turn/castling/en-passant
+    — the offline-capable equivalent of the reference's PGN replay
+    (positions.js:127-160), which required downloaded Lichess PGNs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from chess_vision_tpu.fen import labels_to_fen
+
+_PIECES = "PNBRQKpnbrqk"
+_NON_KING = "PNBRQpnbrq"
+
+
+@dataclass
+class Position:
+    placement: str  # board-placement FEN
+    turn: str = "w"
+    castling: str = "-"
+    en_passant: str = "-"
+    legal: bool = False
+
+    @property
+    def full_fen(self) -> str:
+        return f"{self.placement} {self.turn} {self.castling} {self.en_passant}"
+
+    @property
+    def piece_count(self) -> int:
+        return sum(1 for ch in self.placement if ch.isalpha())
+
+
+def random_position(rng: np.random.Generator) -> Position:
+    """Random (usually illegal) position with exactly two kings."""
+    board = np.zeros(64, np.int32)  # class ids, 0 = empty
+    wk, bk = rng.choice(64, size=2, replace=False)
+    board[wk] = 6   # K
+    board[bk] = 12  # k
+
+    n_extra = int(rng.integers(0, 29))
+    empty = [i for i in range(64) if board[i] == 0]
+    rng.shuffle(empty)
+    placed = 0
+    for sq in empty:
+        if placed >= n_extra:
+            break
+        piece = _NON_KING[int(rng.integers(0, len(_NON_KING)))]
+        # no pawns on ranks 8 (indices 0-7) or 1 (indices 56-63)
+        if piece in "Pp" and (sq < 8 or sq >= 56):
+            continue
+        from chess_vision_tpu.fen import PIECE_TO_INDEX
+
+        board[sq] = PIECE_TO_INDEX[piece]
+        placed += 1
+
+    return Position(placement=labels_to_fen(board))
+
+
+def game_positions(
+    rng: np.random.Generator, n_games: int, max_plies: int = 120
+) -> list[Position]:
+    """All intermediate positions of pseudo-random self-played legal games."""
+    from chess_vision_tpu.datagen.chessrules import Game
+
+    out: list[Position] = []
+    for _ in range(n_games):
+        game = Game()
+        for _ply in range(max_plies):
+            moves = game.legal_moves()
+            if not moves:
+                break
+            game.push(moves[int(rng.integers(0, len(moves)))])
+            out.append(
+                Position(
+                    placement=game.placement_fen(),
+                    turn=game.turn,
+                    castling=game.castling_fen(),
+                    en_passant=game.en_passant_fen(),
+                    legal=True,
+                )
+            )
+    return out
+
+
+def sample_positions(
+    rng: np.random.Generator,
+    count: int,
+    source: str = "random",
+    positions_per_game: float = 40.0,
+) -> list[Position]:
+    if source == "random":
+        return [random_position(rng) for _ in range(count)]
+    if source == "game":
+        pool: list[Position] = []
+        while len(pool) < count:
+            need = count - len(pool)
+            n_games = max(1, int(np.ceil(need / positions_per_game)))
+            pool.extend(game_positions(rng, n_games))
+        idx = rng.permutation(len(pool))[:count]
+        return [pool[i] for i in idx]
+    raise ValueError(f"Unknown position source: {source!r}")

@@ -1,0 +1,205 @@
+"""Synthetic chess board rendering (PIL).
+
+Python replacement for the reference's Node/@napi-rs/canvas renderer
+(datagen/render.js): board = colored squares (fixed classic palettes or
+random cohesive palettes), pieces = font glyphs in one of many named styles
+(font x fill/stroke scheme), optional last-move-style highlight overlay,
+optional flipped orientation (labels corrected by the caller via flip_fen,
+mirroring reference render-worker.js:14-24), JPEG q90 output.
+
+All randomness is taken from an explicit numpy Generator so the caller can
+pre-assign styles deterministically before fanning out to workers
+(reference generate.js:52-57 determinism discipline).
+"""
+
+from __future__ import annotations
+
+import colorsys
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+from PIL import Image, ImageDraw, ImageFont
+
+from chess_vision_tpu.fen import fen_to_labels
+
+_FONT_DIR = "/usr/share/fonts/truetype/dejavu"
+# Only the DejaVu Sans/Mono families ship real chess glyphs (Serif renders
+# tofu boxes — verified by rendering, not bbox checks).
+_FONTS = {
+    "sans": f"{_FONT_DIR}/DejaVuSans.ttf",
+    "sans_bold": f"{_FONT_DIR}/DejaVuSans-Bold.ttf",
+    "mono": f"{_FONT_DIR}/DejaVuSansMono.ttf",
+    "mono_bold": f"{_FONT_DIR}/DejaVuSansMono-Bold.ttf",
+}
+
+# Outline glyphs U+2654-2659 (white) and filled U+265A-265F (black). Rendering
+# the *filled* glyph with configurable fill + stroke gives solid pieces in any
+# color; the outline glyph gives a line-art look.
+_FILLED = {"K": "♚", "Q": "♛", "R": "♜", "B": "♝", "N": "♞", "P": "♟"}
+_OUTLINE = {"K": "♔", "Q": "♕", "R": "♖", "B": "♗", "N": "♘", "P": "♙"}
+
+# Classic fixed board palettes (light, dark), mirroring the reference's fixed
+# palette set (render.js:109-124 has 4 fixed palettes + random mode).
+_FIXED_PALETTES = [
+    ((240, 217, 181), (181, 136, 99)),   # lichess brown
+    ((238, 238, 210), (118, 150, 86)),   # chess.com green
+    ((222, 227, 230), (140, 162, 173)),  # blue-gray
+    ((255, 255, 221), (134, 166, 102)),  # yellow-green
+]
+
+_HIGHLIGHT_COLORS = [
+    (255, 255, 0, 110), (155, 199, 0, 120), (0, 180, 255, 100),
+    (255, 120, 0, 110), (255, 0, 90, 90),
+]
+
+PIECE_STYLE_NAMES = [
+    f"{font}_{scheme}"
+    for font in _FONTS
+    for scheme in ("classic", "solid", "outline")
+]
+
+
+@dataclass
+class BoardStyle:
+    piece_style: str = "sans_classic"
+    light: tuple = (240, 217, 181)
+    dark: tuple = (181, 136, 99)
+    flipped: bool = False
+    highlight: tuple | None = None   # (sq_a, sq_b, color_idx) or None
+    jitter: float = 0.0              # piece placement jitter in fraction of square
+    scale: float = 0.78              # glyph size relative to square
+    extras: dict = field(default_factory=dict)
+
+
+def _random_palette(rng: np.random.Generator) -> tuple[tuple, tuple]:
+    """Cohesive random palette: shared hue, light + dark lightness split."""
+    h = rng.random()
+    s = 0.15 + 0.5 * rng.random()
+    light_l = 0.75 + 0.15 * rng.random()
+    dark_l = 0.35 + 0.2 * rng.random()
+    to_rgb = lambda l: tuple(  # noqa: E731
+        int(255 * v) for v in colorsys.hls_to_rgb(h, l, s)
+    )
+    return to_rgb(light_l), to_rgb(dark_l)
+
+
+def random_style(
+    rng: np.random.Generator,
+    highlight_pct: float = 0.6,
+    flip_pct: float = 0.3,
+) -> BoardStyle:
+    piece_style = PIECE_STYLE_NAMES[int(rng.integers(0, len(PIECE_STYLE_NAMES)))]
+    if rng.random() < 0.5:
+        light, dark = _FIXED_PALETTES[int(rng.integers(0, len(_FIXED_PALETTES)))]
+    else:
+        light, dark = _random_palette(rng)
+    highlight = None
+    if rng.random() < highlight_pct:
+        a, b = rng.choice(64, size=2, replace=False)
+        highlight = (int(a), int(b), int(rng.integers(0, len(_HIGHLIGHT_COLORS))))
+    return BoardStyle(
+        piece_style=piece_style,
+        light=light,
+        dark=dark,
+        flipped=bool(rng.random() < flip_pct),
+        highlight=highlight,
+        jitter=float(rng.random() * 0.04),
+        scale=float(0.72 + rng.random() * 0.12),
+    )
+
+
+_font_cache: dict = {}
+
+
+def _get_font(path: str, px: int):
+    key = (path, px)
+    if key not in _font_cache:
+        _font_cache[key] = ImageFont.truetype(path, px)
+    return _font_cache[key]
+
+
+def render_board(
+    placement_fen: str,
+    style: BoardStyle,
+    size: int = 256,
+    rng: np.random.Generator | None = None,
+) -> Image.Image:
+    """Render a placement FEN. If style.flipped, the *image* is flipped —
+    callers must store flip_fen(placement_fen) as the label."""
+    rng = rng or np.random.default_rng(0)
+    sq_px = size / 8.0
+    img = Image.new("RGB", (size, size), style.light)
+    draw = ImageDraw.Draw(img, "RGBA")
+
+    for r in range(8):
+        for c in range(8):
+            color = style.light if (r + c) % 2 == 0 else style.dark
+            draw.rectangle(
+                [c * sq_px, r * sq_px, (c + 1) * sq_px + 1, (r + 1) * sq_px + 1],
+                fill=color,
+            )
+
+    if style.highlight is not None:
+        a, b, color_idx = style.highlight
+        for s in (a, b):
+            r, c = divmod(s, 8)
+            draw.rectangle(
+                [c * sq_px, r * sq_px, (c + 1) * sq_px + 1, (r + 1) * sq_px + 1],
+                fill=_HIGHLIGHT_COLORS[color_idx],
+            )
+
+    font_name, scheme = style.piece_style.rsplit("_", 1)
+    font_px = max(8, int(sq_px * style.scale / 0.75))
+    font = _get_font(_FONTS[font_name], font_px)
+    stroke = max(1, round(size / 256))
+
+    labels = fen_to_labels(placement_fen)
+    board = labels.reshape(8, 8)
+    if style.flipped:
+        board = board[::-1, ::-1]
+
+    from chess_vision_tpu.fen import INDEX_TO_PIECE
+
+    for r in range(8):
+        for c in range(8):
+            cls = int(board[r, c])
+            if cls == 0:
+                continue
+            piece = INDEX_TO_PIECE[cls]
+            is_white = piece.isupper()
+            kind = piece.upper()
+
+            if scheme == "outline":
+                glyph = _OUTLINE[kind] if is_white else _FILLED[kind]
+                fill = (250, 250, 250) if is_white else (25, 25, 25)
+                stroke_fill = (20, 20, 20) if is_white else (230, 230, 230)
+                sw = 0 if is_white else stroke
+            elif scheme == "solid":
+                glyph = _FILLED[kind]
+                fill = (235, 235, 235) if is_white else (30, 30, 30)
+                stroke_fill = (30, 30, 30) if is_white else (235, 235, 235)
+                sw = stroke
+            else:  # classic: filled glyph, white pieces white w/ dark stroke
+                glyph = _FILLED[kind]
+                fill = (255, 255, 255) if is_white else (0, 0, 0)
+                stroke_fill = (0, 0, 0) if is_white else (90, 90, 90)
+                sw = stroke if is_white else 0
+
+            jx = (rng.random() - 0.5) * 2 * style.jitter * sq_px
+            jy = (rng.random() - 0.5) * 2 * style.jitter * sq_px
+            cx = (c + 0.5) * sq_px + jx
+            cy = (r + 0.5) * sq_px + jy
+            draw.text(
+                (cx, cy), glyph, font=font, fill=fill, anchor="mm",
+                stroke_width=sw, stroke_fill=stroke_fill,
+            )
+    return img
+
+
+def save_board(img: Image.Image, path: str, fmt: str = "jpeg", quality: int = 90):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    if fmt == "jpeg":
+        img.save(path, "JPEG", quality=quality)
+    else:
+        img.save(path, "PNG")

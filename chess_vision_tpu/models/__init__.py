@@ -55,3 +55,30 @@ def param_count(params) -> int:
     import jax
 
     return sum(p.size for p in jax.tree.leaves(params))
+
+
+def init_variables(model: nn.Module, input_size: int, seed: int = 0) -> dict:
+    """Initialize model variables under jit (eager init dispatches hundreds of
+    tiny ops — pathological over a remote-compile TPU tunnel)."""
+    import functools
+
+    import jax
+
+    dummy = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
+    init = jax.jit(functools.partial(model.init, train=False))
+    return init({"params": jax.random.key(seed), "dropout": jax.random.key(1)}, dummy)
+
+
+def abstract_variables(model: nn.Module, input_size: int) -> dict:
+    """Variable pytree of ShapeDtypeStructs (no compute) — the restore
+    template for loading checkpoints in eval/predict/serving paths."""
+    import jax
+
+    dummy = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
+    return jax.eval_shape(
+        lambda: model.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            dummy,
+            train=False,
+        )
+    )

@@ -1,0 +1,116 @@
+"""Jitted train/eval steps and epoch runners.
+
+One compiled program per step does everything device-side: uint8 -> augment ->
+normalize -> forward (bf16) -> loss -> backward -> AdamW update -> metric
+sums. The train state is donated, gradients are averaged across the data mesh
+axis by XLA's psum insertion, and metric counts come back as device scalars
+that are only materialized at epoch end (no per-step host syncs — contrast
+reference train.py:172-198).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from chess_vision_tpu.augment import preprocess_eval, preprocess_train
+from chess_vision_tpu.train.losses import total_loss
+from chess_vision_tpu.train.metrics import accumulate, batch_metric_sums, finalize
+from chess_vision_tpu.parallel.mesh import shard_batch
+
+
+def make_steps(model, cfg: dict, class_weights, mean, std):
+    """Build (train_step, eval_step) pure functions ready for jit."""
+    tcfg = cfg["training"]
+    smoothing = tcfg.get("label_smoothing", 0.0)
+    turn_w = float(tcfg.get("turn_loss_weight", 1.0))
+    castling_w = float(tcfg.get("castling_loss_weight", 1.0))
+
+    def _variables(params, batch_stats):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        return variables
+
+    def train_step(state, batch, base_rng):
+        rng = jax.random.fold_in(base_rng, state.step)
+        aug_rng, drop_rng = jax.random.split(rng)
+        images = preprocess_train(batch["image"], aug_rng, mean, std)
+
+        def loss_fn(params):
+            out = model.apply(
+                _variables(params, state.batch_stats),
+                images,
+                train=True,
+                rngs={"dropout": drop_rng},
+            )
+            loss, aux = total_loss(
+                out, batch, class_weights, smoothing, turn_w, castling_w
+            )
+            return loss, (out, aux)
+
+        (loss, (out, aux)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        new_state = state.apply_gradients(grads)
+        sums = batch_metric_sums(out, batch, loss)
+        sums["step_loss"] = loss.astype(jnp.float32)
+        sums["step_piece_loss"] = aux["piece_loss"].astype(jnp.float32)
+        return new_state, sums
+
+    def eval_step(params, batch_stats, batch):
+        images = preprocess_eval(batch["image"], mean, std)
+        out = model.apply(_variables(params, batch_stats), images, train=False)
+        loss, _ = total_loss(
+            out, batch, class_weights, smoothing, turn_w, castling_w
+        )
+        return batch_metric_sums(out, batch, loss)
+
+    return train_step, eval_step
+
+
+def jit_steps(train_step, eval_step):
+    train_step = jax.jit(train_step, donate_argnums=0)
+    eval_step = jax.jit(eval_step)
+    return train_step, eval_step
+
+
+def run_train_epoch(
+    train_step,
+    state,
+    loader,
+    mesh,
+    base_rng,
+    step_log: Callable | None = None,
+    schedule=None,
+):
+    """One training epoch. Returns (state, metrics dict).
+
+    step_log(global_step, loss_scalar, piece_loss_scalar, lr) receives device
+    scalars; callers defer materialization (utils/logging.py) to keep dispatch
+    async.
+    """
+    total = None
+    step = int(state.step)  # one sync at epoch start, then host-side counting
+    for batch in loader:
+        device_batch = shard_batch(batch, mesh)
+        state, sums = train_step(state, device_batch, base_rng)
+        if step_log is not None:
+            lr = float(schedule(step)) if schedule is not None else None
+            step_log(step, sums["step_loss"], sums["step_piece_loss"], lr)
+        step += 1
+        sums = {k: v for k, v in sums.items() if not k.startswith("step_")}
+        total = accumulate(total, sums)
+    return state, finalize(total)
+
+
+def run_eval_epoch(eval_step, state, loader, mesh):
+    total = None
+    for batch in loader:
+        device_batch = shard_batch(batch, mesh)
+        sums = eval_step(state.params, state.batch_stats, device_batch)
+        total = accumulate(total, sums)
+    return finalize(total)

@@ -1,0 +1,102 @@
+"""Datagen tests: determinism, manifest schema, flip-label correctness."""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from chess_vision_tpu.datagen.generate import MANIFEST_HEADER, generate_split
+from chess_vision_tpu.datagen.positions import random_position, sample_positions
+from chess_vision_tpu.datagen.render import BoardStyle, render_board
+from chess_vision_tpu.fen import fen_to_labels, flip_fen, parse_full_fen
+
+
+def test_random_position_invariants(rng):
+    for _ in range(50):
+        pos = random_position(rng)
+        labels = fen_to_labels(pos.placement)
+        assert (labels == 6).sum() == 1    # exactly one white king
+        assert (labels == 12).sum() == 1   # exactly one black king
+        # no pawns on ranks 1/8
+        assert not np.isin(labels[:8], [1, 7]).any()
+        assert not np.isin(labels[56:], [1, 7]).any()
+        assert not pos.legal
+        assert pos.turn == "w" and pos.castling == "-"
+
+
+def test_game_positions_are_legal(rng):
+    positions = sample_positions(rng, 30, source="game")
+    assert len(positions) == 30
+    for pos in positions:
+        assert pos.legal
+        fen_to_labels(pos.placement)  # parseable
+        assert pos.turn in ("w", "b")
+
+
+def test_render_flip_moves_pieces():
+    """A lone king on a8 renders top-left normally and bottom-right when
+    flipped (glyphs stay upright — flipping is a board-orientation change,
+    not an image rotation)."""
+    placement = "K7/8/8/8/8/8/8/8"
+    base = dict(piece_style="solid".join(["sans_", ""]), light=(240, 240, 240),
+                dark=(200, 200, 200), jitter=0.0, scale=0.78, highlight=None)
+
+    def cell_variance(img, r, c):
+        a = np.asarray(img, np.float32)[r * 32:(r + 1) * 32, c * 32:(c + 1) * 32]
+        return a.std()
+
+    normal = render_board(placement, BoardStyle(**base, flipped=False), 256)
+    flipped = render_board(placement, BoardStyle(**base, flipped=True), 256)
+    # piece pixels create variance inside the cell; empty cells are flat
+    assert cell_variance(normal, 0, 0) > 20 > cell_variance(normal, 7, 7)
+    assert cell_variance(flipped, 7, 7) > 20 > cell_variance(flipped, 0, 0)
+    # label correctness: flip_fen moves the a8 king to h1
+    assert flip_fen(placement) == "8/8/8/8/8/8/8/7K"
+
+
+def test_generate_split_manifest_and_determinism(tmp_path):
+    out1 = str(tmp_path / "a")
+    out2 = str(tmp_path / "b")
+    n1 = generate_split(out1, [("random", 6), ("game", 6)], size=128, seed=7,
+                        workers=1)
+    n2 = generate_split(out2, [("random", 6), ("game", 6)], size=128, seed=7,
+                        workers=1)
+    assert n1 == n2 == 12
+
+    with open(os.path.join(out1, "manifest.csv")) as f:
+        rows1 = list(csv.DictReader(f))
+    with open(os.path.join(out2, "manifest.csv")) as f:
+        rows2 = list(csv.DictReader(f))
+    assert [list(r.values()) for r in rows1] == [list(r.values()) for r in rows2]
+    assert list(rows1[0].keys()) == MANIFEST_HEADER
+
+    # images byte-identical across runs (full determinism)
+    for row in rows1[:3]:
+        a = open(os.path.join(out1, row["filename"]), "rb").read()
+        b = open(os.path.join(out2, row["filename"]), "rb").read()
+        assert a == b
+
+    # manifest fields consistent with the FEN column
+    for row in rows1:
+        parsed = parse_full_fen(row["fen"])
+        assert row["turn"] == row["fen"].split()[1]
+        count = int(row["piece_count"])
+        assert (np.asarray(parsed["squares"]) > 0).sum() == count
+        img = Image.open(os.path.join(out1, row["filename"]))
+        assert img.size == (128, 128)
+
+
+def test_flipped_rows_store_flipped_fen(tmp_path):
+    out = str(tmp_path / "c")
+    generate_split(out, [("random", 20)], size=64, seed=3, workers=1,
+                   flip_pct=1.0)  # force all flipped
+    with open(os.path.join(out, "manifest.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert all(r["flipped"] == "1" for r in rows)
+    # flipping the stored FEN back must produce a position with white pieces
+    # mostly... weaker invariant: double flip = original stored
+    for r in rows[:5]:
+        placement = r["fen"].split()[0]
+        assert flip_fen(flip_fen(placement)) == placement

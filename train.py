@@ -1,0 +1,285 @@
+#!/usr/bin/env python
+"""Train a chess-recognition model on TPU (or CPU for smoke runs).
+
+CLI parity with the reference (train.py:220-227):
+    python train.py --config configs/vit.yaml [--resume ckpt]
+        [--reset-schedule] [--set training.epochs=2 data.max_samples=50 ...]
+
+TPU-native differences: one jitted+donated train step (device-side augment,
+bf16 compute, fused loss/backward/AdamW, on-device metric sums), data-parallel
+sharding over a jax mesh (same code for 1 chip or a v5e-8 slice), msgpack
+self-describing checkpoints.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import numpy as np
+
+from chess_vision_tpu.config import apply_overrides, get_data_config, load_config
+from chess_vision_tpu.data import BatchLoader, ChessDataset, seeded_split
+from chess_vision_tpu.models import build_model, param_count
+from chess_vision_tpu.parallel.mesh import make_mesh, param_sharding, replicated
+from chess_vision_tpu.train.loop import jit_steps, make_steps, run_eval_epoch, run_train_epoch
+from chess_vision_tpu.train.state import compute_class_weights, create_train_state
+from chess_vision_tpu.utils.checkpoint import (
+    load_checkpoint,
+    restore_tree,
+    save_checkpoint,
+)
+from chess_vision_tpu.utils.logging import (
+    MetricLogger,
+    update_run_meta,
+    write_run_meta,
+)
+
+
+def init_model_variables(model, cfg, rng_seed: int = 0):
+    from chess_vision_tpu.models import init_variables
+
+    size = cfg["model"].get("input_size") or 224
+    return init_variables(model, size, seed=rng_seed)
+
+
+def maybe_load_pretrained(variables, cfg) -> tuple[dict, bool]:
+    """Load converted pretrained backbone weights if available.
+
+    The reference pulls timm hub weights (models/vit.py:57). Offline, converted
+    checkpoints are looked up at model.pretrained_path or
+    pretrained/<model name>.ckpt; missing files fall back to random init with
+    a warning (pretrained init is load-bearing for OOD accuracy —
+    EXPERIMENT_RUNS.md:32-35).
+    """
+    if not cfg["model"].get("pretrained", False):
+        return variables, False
+    path = cfg["model"].get("pretrained_path") or os.path.join(
+        "pretrained", cfg["model"]["name"] + ".ckpt"
+    )
+    if not os.path.exists(path):
+        print(f"WARNING: pretrained weights not found at {path}; "
+              "using random init (run the timm->jax converter to create them)")
+        return variables, False
+    from chess_vision_tpu.convert import load_pretrained_backbone
+
+    variables = load_pretrained_backbone(variables, path)
+    print(f"Loaded pretrained backbone from {path}")
+    return variables, True
+
+
+def main():
+    from chess_vision_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+    parser = argparse.ArgumentParser(description="Train chess recognition model")
+    parser.add_argument("--config", default="configs/vit.yaml")
+    parser.add_argument("--resume", default=None)
+    parser.add_argument("--reset-schedule", action="store_true",
+                        help="Keep weights only when resuming (warm restart)")
+    parser.add_argument("--set", nargs="*", default=[],
+                        help="Override config values, e.g. training.epochs=10")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    cfg = load_config(args.config)
+    apply_overrides(cfg, args.set)
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    print(f"Devices: {n_dev} x {jax.devices()[0].device_kind}")
+
+    # --- Data ---
+    input_size = cfg["model"].get("input_size") or 224
+    data_cfg = get_data_config(cfg["model"]["name"])
+    max_samples = cfg["data"].get("max_samples")
+    dataset = ChessDataset(
+        cfg["data"]["train_dir"], max_samples=max_samples, input_size=input_size
+    )
+    train_idx, val_idx = seeded_split(
+        len(dataset), cfg["data"]["val_split"], seed=42
+    )
+    batch_size = cfg["training"]["batch_size"]
+    if batch_size % n_dev != 0:
+        raise ValueError(
+            f"batch_size {batch_size} must be divisible by {n_dev} devices"
+        )
+    num_workers = cfg["data"].get("num_workers", 6)
+    train_loader = BatchLoader(
+        dataset, train_idx, batch_size, shuffle=True, seed=args.seed,
+        num_workers=num_workers, drop_remainder=True,
+    )
+    val_loader = BatchLoader(
+        dataset, val_idx, batch_size, num_workers=num_workers,
+    )
+    print(f"Train: {len(train_idx)}, Val: {len(val_idx)}")
+    if len(train_loader) == 0:
+        raise ValueError("Not enough training samples for one batch")
+
+    ood_loader = None
+    ood_dir = cfg["data"].get("ood_val_dir")
+    if ood_dir and os.path.isdir(ood_dir):
+        ood_dataset = ChessDataset(
+            ood_dir,
+            max_samples=cfg["data"].get("ood_val_max_samples", 2000),
+            input_size=input_size,
+        )
+        ood_loader = BatchLoader(
+            ood_dataset, np.arange(len(ood_dataset)), batch_size,
+            num_workers=num_workers,
+        )
+        print(f"OOD val: {len(ood_dataset)} images from {ood_dir}")
+
+    # --- Class weights ---
+    class_weights = None
+    if cfg["training"].get("use_class_weights", False):
+        class_weights = compute_class_weights(
+            [dataset.samples[i] for i in train_idx]
+        )
+        print(f"Class weights: {class_weights}")
+
+    # --- Model / state ---
+    model = build_model(cfg)
+    variables = init_model_variables(model, cfg, rng_seed=args.seed)
+    variables, _ = maybe_load_pretrained(variables, cfg)
+    n_params = param_count(variables["params"])
+    print(f"Parameters: {n_params:,}")
+
+    steps_per_epoch = len(train_loader)
+    state, schedule = create_train_state(cfg, variables, steps_per_epoch)
+
+    # Place state on the mesh (replicated params; batch sharded per step).
+    shardings = state.replace(
+        params=param_sharding(mesh, state.params),
+        opt_state=jax.tree.map(lambda _: replicated(mesh), state.opt_state),
+        batch_stats=jax.tree.map(lambda _: replicated(mesh), state.batch_stats),
+        step=replicated(mesh),
+    )
+    state = jax.device_put(state, shardings)
+
+    # --- Resume ---
+    start_epoch = 0
+    best_val_acc = 0.0
+    if args.resume:
+        ckpt = load_checkpoint(args.resume)
+        state = state.replace(params=restore_tree(state.params, ckpt["params"]))
+        if args.reset_schedule:
+            print(f"Loaded weights from {args.resume}, reset schedule (warm restart)")
+        else:
+            state = state.replace(
+                opt_state=restore_tree(state.opt_state, ckpt["opt_state"]),
+                batch_stats=restore_tree(state.batch_stats, ckpt["batch_stats"]),
+                step=np.asarray(ckpt["step"], np.int32),
+            )
+            start_epoch = ckpt["epoch"] + 1
+            best_val_acc = ckpt.get("best_val_acc", 0.0)
+            print(f"Resumed from epoch {start_epoch}")
+        state = jax.device_put(state, shardings)
+
+    # --- Steps ---
+    train_step, eval_step = make_steps(
+        model, cfg, class_weights, data_cfg["mean"], data_cfg["std"]
+    )
+    train_step, eval_step = jit_steps(train_step, eval_step)
+    base_rng = jax.random.key(args.seed)
+
+    # --- Logging / checkpointing ---
+    from datetime import datetime
+
+    run_name = datetime.now().strftime("%Y%m%d_%H%M%S")
+    tb_dir = os.path.join(cfg["logging"]["tensorboard_dir"], run_name)
+    logger = MetricLogger(tb_dir)
+    save_dir = cfg["checkpointing"]["save_dir"]
+    os.makedirs(save_dir, exist_ok=True)
+    patience = cfg["checkpointing"].get("early_stopping_patience")
+    epochs_without_improvement = 0
+
+    meta_path = write_run_meta(
+        save_dir, cfg,
+        device=f"{n_dev}x{jax.devices()[0].device_kind}",
+        train_size=len(train_idx), val_size=len(val_idx),
+        tb_dir=tb_dir, n_params=n_params,
+    )
+    print(f"Run metadata: {meta_path}")
+
+    # --- Training loop ---
+    epochs = cfg["training"]["epochs"]
+    epoch = start_epoch
+    train_metrics = val_metrics = {}
+    for epoch in range(start_epoch, epochs):
+        print(f"\nEpoch {epoch + 1}/{epochs}")
+        t0 = time.time()
+
+        state, train_metrics = run_train_epoch(
+            train_step, state, train_loader, mesh, base_rng,
+            step_log=logger.log_step, schedule=schedule,
+        )
+        val_metrics = run_eval_epoch(eval_step, state, val_loader, mesh)
+        ood_metrics = (
+            run_eval_epoch(eval_step, state, ood_loader, mesh)
+            if ood_loader is not None else None
+        )
+
+        elapsed = time.time() - t0
+        lr = float(schedule(int(state.step)))
+        logger.flush_steps()
+
+        for name, m in (("Train", train_metrics), ("Val  ", val_metrics)):
+            print(
+                f"  {name} — loss: {m['loss']:.4f}, "
+                f"sq_acc: {m['square_acc']:.4f}, board_acc: {m['board_acc']:.4f}, "
+                f"turn: {m['turn_acc']:.4f}, castling: {m['castling_acc']:.4f}, "
+                f"full_fen: {m['full_fen_acc']:.4f}"
+            )
+        if ood_metrics is not None:
+            print(
+                f"  OOD   — loss: {ood_metrics['loss']:.4f}, "
+                f"sq_acc: {ood_metrics['square_acc']:.4f}, "
+                f"board_acc: {ood_metrics['board_acc']:.4f}"
+            )
+        print(f"  LR: {lr:.2e} | Time: {elapsed:.1f}s")
+
+        logger.log_epoch("train", train_metrics, epoch)
+        logger.log_epoch("val", val_metrics, epoch)
+        if ood_metrics is not None:
+            logger.log_ood(ood_metrics, epoch)
+
+        save_checkpoint(
+            os.path.join(save_dir, "latest.ckpt"),
+            state.params, state.opt_state, state.batch_stats,
+            step=int(state.step), epoch=epoch,
+            best_val_acc=best_val_acc, config=cfg,
+        )
+        if val_metrics["board_acc"] > best_val_acc:
+            best_val_acc = val_metrics["board_acc"]
+            save_checkpoint(
+                os.path.join(save_dir, "best.ckpt"),
+                state.params, state.opt_state, state.batch_stats,
+                step=int(state.step), epoch=epoch,
+                best_val_acc=best_val_acc, config=cfg,
+            )
+            print(f"  >> New best val board_acc: {best_val_acc:.4f}")
+            epochs_without_improvement = 0
+        else:
+            epochs_without_improvement += 1
+
+        if patience and epochs_without_improvement >= patience:
+            print(f"  Early stopping after {patience} epochs without improvement.")
+            break
+
+    logger.close()
+    update_run_meta(
+        meta_path,
+        best_val_acc=best_val_acc,
+        total_epochs=epoch + 1,
+        final_train_metrics=train_metrics,
+        final_val_metrics=val_metrics,
+    )
+    print(f"\nTraining complete. Best val board_acc: {best_val_acc:.4f}")
+    print(f"Checkpoints saved to {save_dir}/")
+
+
+if __name__ == "__main__":
+    main()
