@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Headline benchmark: ViT-B/16 batched inference throughput (boards/sec/chip).
+
+Measures the serving hot path on the flagship model — uint8 board batches ->
+device normalize -> bf16 forward -> per-square argmax -> compact results
+(69 bytes/board) back to host — pipelined with a bounded in-flight window so
+host<->device transfers overlap device compute. JPEG decode is excluded (it
+runs on host CPU threads and scales with cores, not chips).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "boards/s", "vs_baseline": N/5000}
+vs_baseline is relative to the 5,000 boards/sec/chip target in BASELINE.json
+(the reference publishes no inference throughput; its training throughput was
+~614 img/s on one CUDA GPU, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    from chess_vision_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+
+    import jax
+
+    from chess_vision_tpu.models import build_model, init_variables
+    from chess_vision_tpu.serve import make_infer_fn
+
+    batch = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 512
+    seconds = float(sys.argv[sys.argv.index("--seconds") + 1]) if "--seconds" in sys.argv else 12.0
+
+    cfg = {
+        "model": {"arch": "vit", "input_size": 256,
+                  "head_dropout": 0.0, "drop_path_rate": 0.0},
+        "training": {"mixed_precision": True},
+    }
+    model = build_model(cfg)
+    variables = init_variables(model, 256)
+    params = variables["params"]
+
+    infer = make_infer_fn(model, mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5))
+
+    rng = np.random.default_rng(0)
+    hosts = [
+        rng.integers(0, 256, (batch, 256, 256, 3)).astype(np.uint8)
+        for _ in range(2)
+    ]
+
+    # Warmup / compile (block via D2H of results — block_until_ready is
+    # unreliable over tunneled backends).
+    t_c = time.time()
+    out = infer(params, {}, jax.device_put(hosts[0]))
+    np.asarray(out[0])
+    print(f"bench: compile+warmup {time.time() - t_c:.1f}s", file=sys.stderr)
+
+    # Timed: pipelined H2D -> infer -> D2H with a depth-3 window.
+    window = []
+    boards = 0
+    i = 0
+    t0 = time.time()
+    while time.time() - t0 < seconds or i < 4:
+        dev = jax.device_put(hosts[i % 2])
+        window.append(infer(params, {}, dev))
+        if len(window) >= 3:
+            np.asarray(window.pop(0)[0])
+            boards += batch
+        i += 1
+    while window:
+        np.asarray(window.pop(0)[0])
+        boards += batch
+    elapsed = time.time() - t0
+    value = boards / elapsed
+
+    n_dev = len(jax.devices())
+    per_chip = value / max(n_dev, 1)
+    print(
+        f"bench: {boards} boards in {elapsed:.1f}s on {n_dev} chip(s), "
+        f"batch={batch}", file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "vitb_inference_boards_per_sec_per_chip",
+        "value": round(per_chip, 1),
+        "unit": "boards/s",
+        "vs_baseline": round(per_chip / 5000.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
