@@ -171,9 +171,10 @@ def render_board(
             kind = piece.upper()
 
             if scheme == "outline":
+                # white = hollow line-art glyph drawn dark; black = solid dark
                 glyph = _OUTLINE[kind] if is_white else _FILLED[kind]
-                fill = (250, 250, 250) if is_white else (25, 25, 25)
-                stroke_fill = (20, 20, 20) if is_white else (230, 230, 230)
+                fill = (25, 25, 25)
+                stroke_fill = (230, 230, 230)
                 sw = 0 if is_white else stroke
             elif scheme == "solid":
                 glyph = _FILLED[kind]
