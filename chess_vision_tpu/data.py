@@ -38,9 +38,11 @@ class ChessDataset:
         max_samples: int | None = None,
         manifest: str | None = None,
         input_size: int = 256,
+        fast_decode: bool = True,
     ):
         self.root_dir = root_dir
         self.input_size = input_size
+        self.fast_decode = fast_decode
 
         if manifest is None:
             manifest = os.path.join(root_dir, "manifest.csv")
@@ -86,8 +88,19 @@ class ChessDataset:
         return labels
 
     def load_image(self, idx: int) -> np.ndarray:
-        """uint8 (input_size, input_size, 3); PIL bilinear resize (see module doc)."""
+        """uint8 (input_size, input_size, 3).
+
+        JPEGs go through the native libjpeg decode+resize (GIL-releasing,
+        PIL-parity triangle filter — chess_vision_tpu/native) when available;
+        everything else (and fast_decode=False) uses PIL BILINEAR.
+        """
         path = os.path.join(self.root_dir, self.samples[idx]["filename"])
+        if self.fast_decode:
+            from chess_vision_tpu import native
+
+            out = native.decode_file(path, self.input_size)
+            if out is not None:
+                return out
         img = Image.open(path).convert("RGB")
         if img.size != (self.input_size, self.input_size):
             img = img.resize((self.input_size, self.input_size), Image.BILINEAR)

@@ -23,14 +23,15 @@ from chess_vision_tpu.utils.checkpoint import load_checkpoint, restore_tree
 
 
 def make_infer_fn(model, mean, std):
-    """uint8 (B,S,S,3) -> (square ids u8 (B,64), turn bool (B,), castling bool (B,4))."""
-    mean_arr = jnp.asarray(mean, jnp.float32) * 255.0
-    std_arr = jnp.asarray(std, jnp.float32) * 255.0
+    """uint8 (B,S,S,3) -> (square ids u8 (B,64), turn bool (B,), castling bool (B,4)).
+
+    Preprocessing runs as the fused Pallas dequant+normalize kernel on TPU
+    (ops/preprocess.py), XLA elsewhere.
+    """
+    from chess_vision_tpu.ops.preprocess import preprocess_u8
 
     def forward(params, batch_stats, u8):
-        x = (u8.astype(jnp.bfloat16) - mean_arr.astype(jnp.bfloat16)) / std_arr.astype(
-            jnp.bfloat16
-        )
+        x = preprocess_u8(u8, mean, std, jnp.bfloat16)
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
@@ -66,6 +67,11 @@ class Predictor:
         self.inflight = inflight
 
     def _decode(self, path: str) -> np.ndarray:
+        from chess_vision_tpu import native
+
+        out = native.decode_file(path, self.input_size)
+        if out is not None:
+            return out
         from PIL import Image
 
         img = Image.open(path).convert("RGB")
