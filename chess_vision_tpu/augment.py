@@ -146,9 +146,22 @@ def _color_jitter(img, key):
     return jax.lax.switch(which, branches, img)
 
 
-def _augment_one(img, key):
+def _channel_permutation(img, key):
+    """Random RGB channel permutation (reference dataset.py:123-132 —
+    defined there but unused in the final recipe; available via config)."""
+    perm = jax.random.permutation(key, 3)
+    return img[..., perm]
+
+
+def _invert(img):
+    """Pixel inversion 1-x (reference dataset.py:135-143 — defined but unused
+    in the final recipe; available via config)."""
+    return 1.0 - img
+
+
+def _augment_one(img, key, channel_perm_p: float = 0.0, invert_p: float = 0.0):
     """img: (H, W, 3) float32 in [0,1]."""
-    kj, kg_p, kb_p, kb_s = jax.random.split(key, 4)
+    kj, kg_p, kb_p, kb_s, kc_p, kc, ki_p = jax.random.split(key, 7)
     img = _color_jitter(img, kj)
     img = jnp.where(
         jax.random.uniform(kg_p) < 0.1, _grayscale(img), img
@@ -157,14 +170,26 @@ def _augment_one(img, key):
     img = jnp.where(
         jax.random.uniform(kb_p) < 0.2, _gaussian_blur(img, sigma), img
     )
+    if channel_perm_p > 0.0:
+        img = jnp.where(
+            jax.random.uniform(kc_p) < channel_perm_p,
+            _channel_permutation(img, kc), img,
+        )
+    if invert_p > 0.0:
+        img = jnp.where(jax.random.uniform(ki_p) < invert_p, _invert(img), img)
     return img
 
 
-def augment_batch(images_u8: jnp.ndarray, key) -> jnp.ndarray:
+def augment_batch(
+    images_u8: jnp.ndarray, key,
+    channel_perm_p: float = 0.0, invert_p: float = 0.0,
+) -> jnp.ndarray:
     """(B, H, W, 3) uint8 -> augmented float32 in [0,1]."""
     imgs = images_u8.astype(jnp.float32) / 255.0
     keys = jax.random.split(key, imgs.shape[0])
-    return jax.vmap(_augment_one)(imgs, keys)
+    return jax.vmap(
+        lambda im, k: _augment_one(im, k, channel_perm_p, invert_p)
+    )(imgs, keys)
 
 
 def normalize(images: jnp.ndarray, mean, std, dtype=jnp.float32) -> jnp.ndarray:

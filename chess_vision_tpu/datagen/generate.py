@@ -70,27 +70,34 @@ def generate_split(
     fmt: str = "jpeg",
     highlight_pct: float = 0.6,
     flip_pct: float = 0.3,
+    texture_pct: float = 0.5,
     workers: int | None = None,
 ) -> int:
     """Generate one split. sources = [("random", n), ("game", m), ...]."""
     rng = np.random.default_rng(seed)
 
     positions: list[Position] = []
-    for source, count in sources:
-        positions.extend(sample_positions(rng, count, source=source))
+    for entry in sources:
+        source, count = entry[0], entry[1]
+        extra = entry[2] if len(entry) > 2 else {}
+        positions.extend(
+            sample_positions(rng, count, source=source,
+                             pgn_path=extra.get("path"))
+        )
     order = rng.permutation(len(positions))
     positions = [positions[i] for i in order]
 
     # Pre-assign everything random in the main process (determinism).
     assignments = []
     for i, pos in enumerate(positions):
-        style = random_style(rng, highlight_pct=highlight_pct, flip_pct=flip_pct)
+        style = random_style(rng, highlight_pct=highlight_pct,
+                             flip_pct=flip_pct, texture_pct=texture_pct)
         render_seed = int(rng.integers(0, 2**31 - 1))
         pos_fields = (pos.placement, pos.turn, pos.castling, pos.en_passant,
                       pos.legal)
         style_fields = (style.piece_style, style.light, style.dark,
                         style.flipped, style.highlight, style.jitter,
-                        style.scale, style.extras)
+                        style.scale, style.texture, style.extras)
         assignments.append((i, pos_fields, style_fields, render_seed))
 
     os.makedirs(out_dir, exist_ok=True)
@@ -127,15 +134,19 @@ def run_from_config(path: str) -> None:
     fmt = rendering.get("format", "jpeg")
     highlight_pct = rendering.get("highlight_pct", 0.6)
     flip_pct = rendering.get("flip_pct", 0.3)
+    texture_pct = rendering.get("texture_pct", 0.5)
 
     for name, split in cfg["splits"].items():
         sources = []
         for source in split.get("sources", []):
-            sources.append((source["type"], source["count"]))
+            extra = {k: v for k, v in source.items()
+                     if k not in ("type", "count")}
+            sources.append((source["type"], source["count"], extra))
         out_dir = split["dir"]
         n = generate_split(
             out_dir, sources, size=size, seed=seed, fmt=fmt,
             highlight_pct=highlight_pct, flip_pct=flip_pct,
+            texture_pct=texture_pct,
         )
         print(f"split {name}: {n} images -> {out_dir}")
 

@@ -92,11 +92,95 @@ def game_positions(
     return out
 
 
+def iter_pgn_games(path: str, chunk_bytes: int = 4 * 1024 * 1024):
+    """Stream movetext blocks from a (possibly multi-GB) PGN file without
+    loading it into memory (reference loadPgnGames, positions.js:65-106).
+
+    Yields the movetext string of each complete game.
+    """
+    buf = ""
+    with open(path, "r", errors="replace") as f:
+        while True:
+            chunk = f.read(chunk_bytes)
+            if not chunk:
+                break
+            buf += chunk
+            # A game = header block ([Tags]) + movetext; games are separated
+            # by the next "[Event " tag. Keep the trailing partial game.
+            while True:
+                start = buf.find("[Event ")
+                if start < 0:
+                    break
+                nxt = buf.find("[Event ", start + 1)
+                if nxt < 0:
+                    break
+                game = buf[start:nxt]
+                buf = buf[nxt:]
+                movetext = _movetext_of(game)
+                if movetext:
+                    yield movetext
+    movetext = _movetext_of(buf)
+    if movetext:
+        yield movetext
+
+
+def _movetext_of(game_block: str) -> str:
+    lines = [
+        ln for ln in game_block.splitlines()
+        if ln.strip() and not ln.lstrip().startswith("[")
+    ]
+    return " ".join(lines)
+
+
+def positions_from_pgn(
+    path: str,
+    rng: np.random.Generator,
+    count: int,
+    max_games: int | None = None,
+) -> list[Position]:
+    """Replay games from a PGN file, pool every intermediate position, and
+    sample `count` of them (reference extractAllPositions + samplePositions,
+    positions.js:127-196). Unparseable games are skipped."""
+    from chess_vision_tpu.datagen.chessrules import Game, strip_pgn_movetext
+
+    pool: list[Position] = []
+    n_games = 0
+    for movetext in iter_pgn_games(path):
+        game = Game()
+        try:
+            for san in strip_pgn_movetext(movetext):
+                game.push_san(san)
+                pool.append(
+                    Position(
+                        placement=game.placement_fen(),
+                        turn=game.turn,
+                        castling=game.castling_fen(),
+                        en_passant=game.en_passant_fen(),
+                        legal=True,
+                    )
+                )
+        except ValueError:
+            continue  # skip malformed games
+        n_games += 1
+        if max_games is not None and n_games >= max_games:
+            break
+        if len(pool) >= count * 10:  # enough diversity; stop reading
+            break
+    if not pool:
+        raise ValueError(f"No parseable games in {path}")
+    idx = rng.permutation(len(pool))[: min(count, len(pool))]
+    out = [pool[i] for i in idx]
+    while len(out) < count:  # small files: sample with replacement
+        out.append(pool[int(rng.integers(0, len(pool)))])
+    return out
+
+
 def sample_positions(
     rng: np.random.Generator,
     count: int,
     source: str = "random",
     positions_per_game: float = 40.0,
+    pgn_path: str | None = None,
 ) -> list[Position]:
     if source == "random":
         return [random_position(rng) for _ in range(count)]
@@ -108,4 +192,8 @@ def sample_positions(
             pool.extend(game_positions(rng, n_games))
         idx = rng.permutation(len(pool))[:count]
         return [pool[i] for i in idx]
+    if source == "pgn":
+        if not pgn_path:
+            raise ValueError("source 'pgn' requires a pgn path")
+        return positions_from_pgn(pgn_path, rng, count)
     raise ValueError(f"Unknown position source: {source!r}")

@@ -17,6 +17,7 @@ from PIL import Image, ImageDraw
 from chess_vision_tpu.datagen.render import (
     _FIXED_PALETTES,
     PIECE_STYLE_NAMES,
+    TEXTURE_KINDS,
     BoardStyle,
     _random_palette,
     render_board,
@@ -58,6 +59,15 @@ def preview_palettes(out_path: str, n_random: int = 12):
     _grid(items, cols=4).save(out_path)
 
 
+def preview_textures(out_path: str, per_kind: int = 4):
+    items = []
+    for kind in TEXTURE_KINDS:
+        for i in range(per_kind):
+            style = BoardStyle(texture=(kind, 1000 + i))
+            items.append((render_board(_DEMO, style, 256), f"{kind} {i}"))
+    _grid(items, cols=4).save(out_path)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--out", default="previews")
@@ -65,6 +75,7 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     preview_styles(os.path.join(args.out, "style_preview.png"))
     preview_palettes(os.path.join(args.out, "palette_preview.png"))
+    preview_textures(os.path.join(args.out, "texture_preview.png"))
     print(f"previews -> {args.out}/")
 
 

@@ -60,6 +60,9 @@ PIECE_STYLE_NAMES = [
 ]
 
 
+TEXTURE_KINDS = ("wood", "marble", "noise")
+
+
 @dataclass
 class BoardStyle:
     piece_style: str = "sans_classic"
@@ -69,7 +72,37 @@ class BoardStyle:
     highlight: tuple | None = None   # (sq_a, sq_b, color_idx) or None
     jitter: float = 0.0              # piece placement jitter in fraction of square
     scale: float = 0.78              # glyph size relative to square
+    texture: tuple | None = None     # (kind, seed) procedural background texture
     extras: dict = field(default_factory=dict)
+
+
+def _make_texture(kind: str, seed: int, size: int) -> np.ndarray:
+    """Procedural background texture, (size, size, 3) float in [0,1].
+
+    Replaces the reference's 23 downloaded board-texture images
+    (render.js:26-30) with offline-generated wood/marble/noise fields.
+    """
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    if kind == "wood":
+        freq = 6 + 10 * rng.random()
+        warp = np.sin(2 * np.pi * (y * (1 + rng.random()) + rng.random()))
+        grain = 0.5 + 0.5 * np.sin(2 * np.pi * freq * (x + 0.08 * warp))
+        base = np.array([0.55, 0.38, 0.22]) + 0.2 * rng.random(3)
+        tex = base[None, None] * (0.8 + 0.25 * grain[..., None])
+    elif kind == "marble":
+        phase = rng.random() * 6.28
+        veins = np.abs(np.sin(2 * np.pi * (x + y) * (2 + 3 * rng.random()) + phase
+                              + 2.0 * np.sin(2 * np.pi * y * 3)))
+        base = np.array([0.85, 0.84, 0.82]) - 0.1 * rng.random(3)
+        tex = base[None, None] * (0.75 + 0.25 * veins[..., None])
+    else:  # noise
+        small = rng.random((size // 16, size // 16, 3)).astype(np.float32)
+        img = Image.fromarray((small * 255).astype(np.uint8)).resize(
+            (size, size), Image.BILINEAR
+        )
+        tex = 0.55 + 0.4 * (np.asarray(img, np.float32) / 255.0)
+    return np.clip(tex, 0.0, 1.0)
 
 
 def _random_palette(rng: np.random.Generator) -> tuple[tuple, tuple]:
@@ -88,6 +121,7 @@ def random_style(
     rng: np.random.Generator,
     highlight_pct: float = 0.6,
     flip_pct: float = 0.3,
+    texture_pct: float = 0.5,
 ) -> BoardStyle:
     piece_style = PIECE_STYLE_NAMES[int(rng.integers(0, len(PIECE_STYLE_NAMES)))]
     if rng.random() < 0.5:
@@ -98,6 +132,10 @@ def random_style(
     if rng.random() < highlight_pct:
         a, b = rng.choice(64, size=2, replace=False)
         highlight = (int(a), int(b), int(rng.integers(0, len(_HIGHLIGHT_COLORS))))
+    texture = None
+    if rng.random() < texture_pct:
+        kind = TEXTURE_KINDS[int(rng.integers(0, len(TEXTURE_KINDS)))]
+        texture = (kind, int(rng.integers(0, 2**31 - 1)))
     return BoardStyle(
         piece_style=piece_style,
         light=light,
@@ -106,6 +144,7 @@ def random_style(
         highlight=highlight,
         jitter=float(rng.random() * 0.04),
         scale=float(0.72 + rng.random() * 0.12),
+        texture=texture,
     )
 
 
@@ -132,12 +171,20 @@ def render_board(
     img = Image.new("RGB", (size, size), style.light)
     draw = ImageDraw.Draw(img, "RGBA")
 
+    if style.texture is not None:
+        kind, tex_seed = style.texture
+        tex = _make_texture(kind, tex_seed, size)
+        img.paste(Image.fromarray((tex * 255).astype(np.uint8)))
+        square_alpha = 190  # squares tint the texture instead of covering it
+    else:
+        square_alpha = 255
+
     for r in range(8):
         for c in range(8):
             color = style.light if (r + c) % 2 == 0 else style.dark
             draw.rectangle(
                 [c * sq_px, r * sq_px, (c + 1) * sq_px + 1, (r + 1) * sq_px + 1],
-                fill=color,
+                fill=tuple(color) + (square_alpha,),
             )
 
     if style.highlight is not None:

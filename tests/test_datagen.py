@@ -100,3 +100,28 @@ def test_flipped_rows_store_flipped_fen(tmp_path):
     for r in rows[:5]:
         placement = r["fen"].split()[0]
         assert flip_fen(flip_fen(placement)) == placement
+
+
+def test_positions_from_pgn(tmp_path, rng):
+    pgn = (tmp_path / "g.pgn")
+    pgn.write_text(
+        '[Event "A"]\n\n1. e4 e5 2. Nf3 Nc6 3. Bb5 a6 1-0\n\n'
+        '[Event "B"]\n\n1. d4 {qgd} d5 2. c4 e6 (2... c6) 0-1\n'
+    )
+    from chess_vision_tpu.datagen.positions import positions_from_pgn
+
+    ps = positions_from_pgn(str(pgn), rng, 8)
+    assert len(ps) == 8
+    assert all(p.legal for p in ps)
+    # positions reflect real game states: some have full castling rights
+    assert any(p.castling == "KQkq" for p in ps)
+
+
+def test_textured_render_differs_and_is_deterministic():
+    style_t = BoardStyle(texture=("wood", 7), jitter=0.0, highlight=None)
+    style_p = BoardStyle(texture=None, jitter=0.0, highlight=None)
+    a = np.asarray(render_board("8/8/8/8/8/8/8/8", style_t, 128))
+    b = np.asarray(render_board("8/8/8/8/8/8/8/8", style_p, 128))
+    c = np.asarray(render_board("8/8/8/8/8/8/8/8", style_t, 128))
+    assert not np.array_equal(a, b)       # texture changes pixels
+    np.testing.assert_array_equal(a, c)   # deterministic per seed
