@@ -36,6 +36,8 @@ def main():
     batch = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 512
     seconds = float(sys.argv[sys.argv.index("--seconds") + 1]) if "--seconds" in sys.argv else 12.0
 
+    mode = "rgb" if "--rgb" in sys.argv else "ycbcr420"
+
     cfg = {
         "model": {"arch": "vit", "input_size": 256,
                   "head_dropout": 0.0, "drop_path_rate": 0.0},
@@ -45,20 +47,39 @@ def main():
     variables = init_variables(model, 256)
     params = variables["params"]
 
-    infer = make_infer_fn(model, mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5))
+    infer = make_infer_fn(
+        model, mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5), mode=mode
+    )
 
     rng = np.random.default_rng(0)
-    hosts = [
-        rng.integers(0, 256, (batch, 256, 256, 3)).astype(np.uint8)
-        for _ in range(2)
-    ]
+    if mode == "ycbcr420":
+        # the native decoder emits subsampled planes directly (half the
+        # bytes of RGB); RGB is reconstructed on device
+        hosts = [
+            (
+                rng.integers(0, 256, (batch, 256, 256)).astype(np.uint8),
+                rng.integers(0, 256, (batch, 128, 128)).astype(np.uint8),
+                rng.integers(0, 256, (batch, 128, 128)).astype(np.uint8),
+            )
+            for _ in range(2)
+        ]
+    else:
+        hosts = [
+            (rng.integers(0, 256, (batch, 256, 256, 3)).astype(np.uint8),)
+            for _ in range(2)
+        ]
+
+    def submit(host_tuple):
+        dev = tuple(jax.device_put(a) for a in host_tuple)
+        return infer(params, {}, *dev)
 
     # Warmup / compile (block via D2H of results — block_until_ready is
     # unreliable over tunneled backends).
     t_c = time.time()
-    out = infer(params, {}, jax.device_put(hosts[0]))
+    out = submit(hosts[0])
     np.asarray(out[0])
-    print(f"bench: compile+warmup {time.time() - t_c:.1f}s", file=sys.stderr)
+    print(f"bench: mode={mode} compile+warmup {time.time() - t_c:.1f}s",
+          file=sys.stderr)
 
     # Timed: pipelined H2D -> infer -> D2H with a depth-3 window.
     window = []
@@ -66,8 +87,7 @@ def main():
     i = 0
     t0 = time.time()
     while time.time() - t0 < seconds or i < 4:
-        dev = jax.device_put(hosts[i % 2])
-        window.append(infer(params, {}, dev))
+        window.append(submit(hosts[i % 2]))
         if len(window) >= 3:
             np.asarray(window.pop(0)[0])
             boards += batch

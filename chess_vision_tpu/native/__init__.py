@@ -49,6 +49,11 @@ def _load():
             lib.decode_resize.argtypes = [
                 ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_void_p,
             ]
+            lib.decode_ycbcr420.restype = ctypes.c_int
+            lib.decode_ycbcr420.argtypes = [
+                ctypes.c_char_p, ctypes.c_long, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ]
             _lib = lib
         except Exception:
             _build_failed = True
@@ -83,3 +88,35 @@ def decode_file(path: str, out_size: int) -> np.ndarray | None:
     except OSError:
         return None
     return decode_resize_jpeg(data, out_size)
+
+
+def decode_ycbcr420(data: bytes, size: int):
+    """4:2:0 JPEG bytes -> (Y (size,size), Cb, Cr (size/2,size/2)) uint8
+    planes without chroma upsampling, or None if the JPEG doesn't match
+    (wrong size/subsampling) — caller falls back to the RGB path."""
+    lib = _load()
+    if lib is None or size % 16:
+        return None
+    y = np.empty((size, size), np.uint8)
+    cb = np.empty((size // 2, size // 2), np.uint8)
+    cr = np.empty((size // 2, size // 2), np.uint8)
+    rc = lib.decode_ycbcr420(
+        data, len(data), size,
+        y.ctypes.data_as(ctypes.c_void_p),
+        cb.ctypes.data_as(ctypes.c_void_p),
+        cr.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        return None
+    return y, cb, cr
+
+
+def decode_file_ycbcr420(path: str, size: int):
+    if not path.lower().endswith((".jpg", ".jpeg")):
+        return None
+    try:
+        with open(path, "rb") as f:
+            data = f.read()
+    except OSError:
+        return None
+    return decode_ycbcr420(data, size)

@@ -166,4 +166,62 @@ int decode_resize(const uint8_t* data, long len, int out_size, uint8_t* out) {
   return 0;
 }
 
+// Decode a 4:2:0 JPEG to raw subsampled planes WITHOUT chroma upsampling:
+// out_y is size x size, out_cb/out_cr are (size/2) x (size/2). Only valid
+// when the JPEG is exactly `size` square with 2x2 chroma subsampling —
+// returns nonzero otherwise (caller falls back to decode_resize). Skipping
+// the upsample both cuts decode work and halves the bytes shipped to the
+// accelerator, which reconstructs RGB on-device.
+int decode_ycbcr420(const uint8_t* data, long len, int size, uint8_t* out_y,
+                    uint8_t* out_cb, uint8_t* out_cr) {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, static_cast<unsigned long>(len));
+  jpeg_read_header(&cinfo, TRUE);
+
+  if (cinfo.image_width != static_cast<unsigned>(size) ||
+      cinfo.image_height != static_cast<unsigned>(size) ||
+      cinfo.num_components != 3 || cinfo.jpeg_color_space != JCS_YCbCr ||
+      cinfo.comp_info[0].h_samp_factor != 2 ||
+      cinfo.comp_info[0].v_samp_factor != 2 ||
+      cinfo.comp_info[1].h_samp_factor != 1 ||
+      cinfo.comp_info[1].v_samp_factor != 1 ||
+      size % 16 != 0) {
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+
+  cinfo.raw_data_out = TRUE;
+  cinfo.do_fancy_upsampling = FALSE;
+  jpeg_start_decompress(&cinfo);
+
+  const int half = size / 2;
+  // raw_data_out delivers in MCU rows: 16 luma rows + 8 chroma rows at a time
+  JSAMPROW y_rows[16], cb_rows[8], cr_rows[8];
+  JSAMPARRAY planes[3] = {y_rows, cb_rows, cr_rows};
+  while (cinfo.output_scanline < cinfo.output_height) {
+    const int y0 = cinfo.output_scanline;
+    for (int i = 0; i < 16; ++i) {
+      int row = std::min(y0 + i, size - 1);
+      y_rows[i] = out_y + static_cast<size_t>(row) * size;
+    }
+    for (int i = 0; i < 8; ++i) {
+      int row = std::min(y0 / 2 + i, half - 1);
+      cb_rows[i] = out_cb + static_cast<size_t>(row) * half;
+      cr_rows[i] = out_cr + static_cast<size_t>(row) * half;
+    }
+    jpeg_read_raw_data(&cinfo, planes, 16);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
 }  // extern "C"

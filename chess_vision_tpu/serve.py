@@ -22,16 +22,22 @@ from chess_vision_tpu.models import abstract_variables, build_model
 from chess_vision_tpu.utils.checkpoint import load_checkpoint, restore_tree
 
 
-def make_infer_fn(model, mean, std):
-    """uint8 (B,S,S,3) -> (square ids u8 (B,64), turn bool (B,), castling bool (B,4)).
+def make_infer_fn(model, mean, std, mode: str = "rgb"):
+    """Inference program: images -> (square ids u8 (B,64), turn bool (B,),
+    castling bool (B,4)).
 
-    Preprocessing runs as the fused Pallas dequant+normalize kernel on TPU
-    (ops/preprocess.py), XLA elsewhere.
+    mode="rgb": input uint8 (B,S,S,3); preprocessing is the fused Pallas
+    dequant+normalize kernel on TPU (ops/preprocess.py), XLA elsewhere.
+    mode="ycbcr420": inputs are subsampled JPEG planes (Y (B,S,S),
+    Cb/Cr (B,S/2,S/2) uint8); RGB is reconstructed on device — half the
+    host->device bytes (ops/preprocess.ycbcr420_to_normalized).
     """
-    from chess_vision_tpu.ops.preprocess import preprocess_u8
+    from chess_vision_tpu.ops.preprocess import (
+        preprocess_u8,
+        ycbcr420_to_normalized,
+    )
 
-    def forward(params, batch_stats, u8):
-        x = preprocess_u8(u8, mean, std, jnp.bfloat16)
+    def _head(params, batch_stats, x):
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
@@ -43,14 +49,40 @@ def make_infer_fn(model, mean, std):
             out["castling"] > 0,
         )
 
+    if mode == "ycbcr420":
+        def forward(params, batch_stats, y, cb, cr):
+            x = ycbcr420_to_normalized(y, cb, cr, mean, std, jnp.bfloat16)
+            return _head(params, batch_stats, x)
+    else:
+        def forward(params, batch_stats, u8):
+            x = preprocess_u8(u8, mean, std, jnp.bfloat16)
+            return _head(params, batch_stats, x)
+
     return jax.jit(forward)
+
+
+def rgb_to_ycbcr420(img: np.ndarray):
+    """Host fallback: uint8 (S,S,3) RGB -> (Y, Cb, Cr) planes (JFIF BT.601,
+    2x2 box-averaged chroma) for images the native 4:2:0 decoder can't take
+    directly (PNG, odd sizes after resize)."""
+    f = img.astype(np.float32)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    sub = lambda c: c.reshape(  # noqa: E731
+        c.shape[0] // 2, 2, c.shape[1] // 2, 2
+    ).mean(axis=(1, 3))
+    clip = lambda c: np.clip(c + 0.5, 0, 255).astype(np.uint8)  # noqa: E731
+    return clip(y), clip(sub(cb)), clip(sub(cr))
 
 
 class Predictor:
     """Load a checkpoint once, predict FENs for images at max throughput."""
 
     def __init__(self, checkpoint_path: str, batch_size: int = 256,
-                 decode_workers: int = 8, inflight: int = 4):
+                 decode_workers: int = 8, inflight: int = 4,
+                 mode: str = "rgb"):
         ckpt = load_checkpoint(checkpoint_path)
         self.cfg = ckpt["config"]
         self.model = build_model(self.cfg)
@@ -61,7 +93,10 @@ class Predictor:
             variables.get("batch_stats", {}), ckpt.get("batch_stats", {})
         )
         data_cfg = get_data_config(self.cfg["model"]["name"])
-        self.infer = make_infer_fn(self.model, data_cfg["mean"], data_cfg["std"])
+        self.mode = mode
+        self.infer = make_infer_fn(
+            self.model, data_cfg["mean"], data_cfg["std"], mode=mode
+        )
         self.batch_size = batch_size
         self.decode_workers = decode_workers
         self.inflight = inflight
@@ -78,6 +113,23 @@ class Predictor:
         if img.size != (self.input_size, self.input_size):
             img = img.resize((self.input_size, self.input_size), Image.BILINEAR)
         return np.asarray(img, np.uint8)
+
+    def _decode_planes(self, path: str):
+        """YCbCr-420 planes: native raw decode when the JPEG matches, else
+        RGB decode + host conversion."""
+        from chess_vision_tpu import native
+
+        planes = native.decode_file_ycbcr420(path, self.input_size)
+        if planes is not None:
+            return planes
+        return rgb_to_ycbcr420(self._decode(path))
+
+    def _submit(self, window, imgs_or_planes):
+        if self.mode == "ycbcr420":
+            y, cb, cr = (jax.device_put(a) for a in imgs_or_planes)
+            return self.infer(self.params, self.batch_stats, y, cb, cr)
+        dev = jax.device_put(imgs_or_planes)
+        return self.infer(self.params, self.batch_stats, dev)
 
     def predict_array(self, images_u8: np.ndarray) -> list[str]:
         """uint8 (N,S,S,3) -> N FEN strings (padding the tail batch)."""
@@ -111,13 +163,31 @@ class Predictor:
         fens: list[str] = []
         window: list[tuple] = []
         batch_q: queue.Queue = queue.Queue(maxsize=self.inflight)
+        ycbcr = self.mode == "ycbcr420"
+
+        def _pad(arr, count):
+            if count == self.batch_size:
+                return arr
+            pad = np.repeat(arr[-1:], self.batch_size - count, axis=0)
+            return np.concatenate([arr, pad])
 
         def producer():
             with ThreadPoolExecutor(self.decode_workers) as pool:
                 for start in range(0, len(paths), self.batch_size):
                     chunk_paths = paths[start : start + self.batch_size]
-                    imgs = np.stack(list(pool.map(self._decode, chunk_paths)))
-                    batch_q.put(imgs)
+                    count = len(chunk_paths)
+                    if ycbcr:
+                        planes = list(pool.map(self._decode_planes, chunk_paths))
+                        batch = tuple(
+                            _pad(np.stack([p[i] for p in planes]), count)
+                            for i in range(3)
+                        )
+                    else:
+                        batch = _pad(
+                            np.stack(list(pool.map(self._decode, chunk_paths))),
+                            count,
+                        )
+                    batch_q.put((count, batch))
             batch_q.put(None)
 
         threading.Thread(target=producer, daemon=True).start()
@@ -130,15 +200,11 @@ class Predictor:
             )
 
         while True:
-            imgs = batch_q.get()
-            if imgs is None:
+            item = batch_q.get()
+            if item is None:
                 break
-            count = imgs.shape[0]
-            if count < self.batch_size:
-                pad = np.repeat(imgs[-1:], self.batch_size - count, axis=0)
-                imgs = np.concatenate([imgs, pad])
-            dev = jax.device_put(imgs)
-            window.append((count, self.infer(self.params, self.batch_stats, dev)))
+            count, batch = item
+            window.append((count, self._submit(window, batch)))
             if len(window) >= self.inflight:
                 drain_one()
         while window:

@@ -30,6 +30,9 @@ def main():
                         help="directory or glob of board images")
     parser.add_argument("--batch-size", type=int, default=256)
     parser.add_argument("--decode-workers", type=int, default=8)
+    parser.add_argument("--mode", choices=["rgb", "ycbcr420"], default="rgb",
+                        help="ycbcr420 ships subsampled planes (half the "
+                             "host->device bytes; RGB rebuilt on device)")
     parser.add_argument("--out", default=None)
     args = parser.parse_args()
 
@@ -46,7 +49,7 @@ def main():
 
     predictor = Predictor(
         args.checkpoint, batch_size=args.batch_size,
-        decode_workers=args.decode_workers,
+        decode_workers=args.decode_workers, mode=args.mode,
     )
     t0 = time.time()
     fens = predictor.predict_files(paths)
