@@ -37,6 +37,7 @@ def main():
     seconds = float(sys.argv[sys.argv.index("--seconds") + 1]) if "--seconds" in sys.argv else 12.0
 
     mode = "rgb" if "--rgb" in sys.argv else "ycbcr420"
+    use_int8 = "--no-int8" not in sys.argv
 
     cfg = {
         "model": {"arch": "vit", "input_size": 256,
@@ -47,9 +48,19 @@ def main():
     variables = init_variables(model, 256)
     params = variables["params"]
 
-    infer = make_infer_fn(
-        model, mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5), mode=mode
-    )
+    if use_int8:
+        from chess_vision_tpu.ops.quant import quantize_chessvit
+        from chess_vision_tpu.serve import make_int8_infer_fn
+
+        pack = quantize_chessvit(params)
+        infer = make_int8_infer_fn(
+            pack, mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5), mode=mode
+        )
+        params = {}
+    else:
+        infer = make_infer_fn(
+            model, mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5), mode=mode
+        )
 
     rng = np.random.default_rng(0)
     if mode == "ycbcr420":
@@ -78,8 +89,8 @@ def main():
     t_c = time.time()
     out = submit(hosts[0])
     np.asarray(out[0])
-    print(f"bench: mode={mode} compile+warmup {time.time() - t_c:.1f}s",
-          file=sys.stderr)
+    print(f"bench: mode={mode} int8={use_int8} "
+          f"compile+warmup {time.time() - t_c:.1f}s", file=sys.stderr)
 
     # Timed: pipelined H2D -> infer -> D2H with a depth-3 window.
     window = []

@@ -61,6 +61,37 @@ def make_infer_fn(model, mean, std, mode: str = "rgb"):
     return jax.jit(forward)
 
 
+def make_int8_infer_fn(pack: dict, mean, std, mode: str = "rgb"):
+    """Int8 (W8A8) ChessViT inference program (ops/quant.py) with the same
+    signature/outputs as make_infer_fn."""
+    from chess_vision_tpu.ops.preprocess import (
+        preprocess_u8,
+        ycbcr420_to_normalized,
+    )
+    from chess_vision_tpu.ops.quant import chessvit_int8_apply
+
+    def _head(x):
+        out = chessvit_int8_apply(pack, x)
+        preds = jnp.argmax(out["squares"].reshape(-1, 64, 13), axis=-1)
+        return (
+            preds.astype(jnp.uint8),
+            out["turn"][:, 0] > 0,
+            out["castling"] > 0,
+        )
+
+    if mode == "ycbcr420":
+        def forward(params, batch_stats, y, cb, cr):
+            del params, batch_stats
+            return _head(ycbcr420_to_normalized(y, cb, cr, mean, std,
+                                                jnp.bfloat16))
+    else:
+        def forward(params, batch_stats, u8):
+            del params, batch_stats
+            return _head(preprocess_u8(u8, mean, std, jnp.bfloat16))
+
+    return jax.jit(forward)
+
+
 def rgb_to_ycbcr420(img: np.ndarray):
     """Host fallback: uint8 (S,S,3) RGB -> (Y, Cb, Cr) planes (JFIF BT.601,
     2x2 box-averaged chroma) for images the native 4:2:0 decoder can't take
@@ -82,7 +113,7 @@ class Predictor:
 
     def __init__(self, checkpoint_path: str, batch_size: int = 256,
                  decode_workers: int = 8, inflight: int = 4,
-                 mode: str = "rgb"):
+                 mode: str = "rgb", quant: str | None = None):
         ckpt = load_checkpoint(checkpoint_path)
         self.cfg = ckpt["config"]
         self.model = build_model(self.cfg)
@@ -92,11 +123,21 @@ class Predictor:
         self.batch_stats = restore_tree(
             variables.get("batch_stats", {}), ckpt.get("batch_stats", {})
         )
-        data_cfg = get_data_config(self.cfg["model"]["name"])
+        data_cfg = get_data_config(self.cfg["model"].get("name", ""))
         self.mode = mode
-        self.infer = make_infer_fn(
-            self.model, data_cfg["mean"], data_cfg["std"], mode=mode
-        )
+        if quant == "int8":
+            if self.cfg["model"].get("arch", "vit") != "vit":
+                raise ValueError("int8 quantization currently supports arch=vit")
+            from chess_vision_tpu.ops.quant import quantize_chessvit
+
+            pack = quantize_chessvit(self.params)
+            self.infer = make_int8_infer_fn(
+                pack, data_cfg["mean"], data_cfg["std"], mode=mode
+            )
+        else:
+            self.infer = make_infer_fn(
+                self.model, data_cfg["mean"], data_cfg["std"], mode=mode
+            )
         self.batch_size = batch_size
         self.decode_workers = decode_workers
         self.inflight = inflight

@@ -33,6 +33,8 @@ def main():
     parser.add_argument("--mode", choices=["rgb", "ycbcr420"], default="rgb",
                         help="ycbcr420 ships subsampled planes (half the "
                              "host->device bytes; RGB rebuilt on device)")
+    parser.add_argument("--quant", choices=["int8"], default=None,
+                        help="int8 W8A8 inference (ViT only; 2x MXU peak)")
     parser.add_argument("--out", default=None)
     args = parser.parse_args()
 
@@ -49,7 +51,7 @@ def main():
 
     predictor = Predictor(
         args.checkpoint, batch_size=args.batch_size,
-        decode_workers=args.decode_workers, mode=args.mode,
+        decode_workers=args.decode_workers, mode=args.mode, quant=args.quant,
     )
     t0 = time.time()
     fens = predictor.predict_files(paths)

@@ -1,0 +1,63 @@
+"""Int8 quantized-inference numerics vs the fp32 model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chess_vision_tpu.models import build_model
+from chess_vision_tpu.ops.quant import (
+    chessvit_int8_apply,
+    quant_dense,
+    quantize_chessvit,
+    _quant_weight,
+)
+
+
+def test_quant_dense_close_to_f32(rng):
+    x = rng.normal(size=(8, 64)).astype(np.float32)
+    w = rng.normal(size=(64, 32)).astype(np.float32)
+    b = rng.normal(size=(32,)).astype(np.float32)
+    wq, ws = _quant_weight(w)
+    ref = x @ w + b
+    out = np.asarray(quant_dense(jnp.asarray(x), jnp.asarray(wq),
+                                 jnp.asarray(ws), jnp.asarray(b)))
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    assert rel < 0.02, rel
+
+
+def test_quant_weight_roundtrip_properties(rng):
+    w = rng.normal(size=(16, 8)).astype(np.float32)
+    wq, ws = _quant_weight(w)
+    assert wq.dtype == np.int8
+    assert np.abs(wq).max() <= 127
+    deq = wq.astype(np.float32) * ws
+    assert np.abs(deq - w).max() <= ws.max()  # within one quant step
+
+
+def test_int8_vit_matches_f32_model(rng):
+    cfg = {
+        "model": {"arch": "vit", "input_size": 128, "head_dropout": 0.0,
+                  "drop_path_rate": 0.0},
+        "training": {"mixed_precision": False},
+    }
+    model = build_model(cfg)
+    x = jnp.asarray(rng.normal(size=(2, 128, 128, 3)).astype(np.float32))
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        x, train=False,
+    )
+    ref = model.apply(variables, x, train=False)
+    pack = quantize_chessvit(variables["params"])
+    out = chessvit_int8_apply(pack, x)
+
+    for key in ("squares", "turn", "castling"):
+        a = np.asarray(ref[key]).reshape(-1)
+        b = np.asarray(out[key]).reshape(-1)
+        cos = float((a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos > 0.995, (key, cos)
+    agree = (
+        np.asarray(ref["squares"]).reshape(-1, 13).argmax(-1)
+        == np.asarray(out["squares"]).reshape(-1, 13).argmax(-1)
+    ).mean()
+    # random-init logits are nearly tied; trained margins agree far better
+    assert agree > 0.95, agree
