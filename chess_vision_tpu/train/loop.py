@@ -93,9 +93,14 @@ def run_train_epoch(
     scalars; callers defer materialization (utils/logging.py) to keep dispatch
     async.
     """
+    import sys
+    import time as _time
+
     total = None
     step = int(state.step)  # one sync at epoch start, then host-side counting
-    for batch in loader:
+    t0 = _time.time()
+    n_batches = len(loader) if hasattr(loader, "__len__") else None
+    for i, batch in enumerate(loader):
         device_batch = shard_batch(batch, mesh)
         state, sums = train_step(state, device_batch, base_rng)
         if step_log is not None:
@@ -104,6 +109,10 @@ def run_train_epoch(
         step += 1
         sums = {k: v for k, v in sums.items() if not k.startswith("step_")}
         total = accumulate(total, sums)
+        if i == 0 or (i + 1) % 20 == 0:
+            rate = (i + 1) / max(_time.time() - t0, 1e-9)
+            print(f"    step {i + 1}/{n_batches or '?'} "
+                  f"({rate:.2f} it/s)", file=sys.stderr, flush=True)
     return state, finalize(total)
 
 
