@@ -205,3 +205,23 @@ def preprocess_train(images_u8, key, mean, std, dtype=jnp.float32):
 
 def preprocess_eval(images_u8, mean, std, dtype=jnp.float32):
     return normalize(images_u8.astype(jnp.float32) / 255.0, mean, std, dtype)
+
+
+def _batch_rgb01(batch: dict) -> jnp.ndarray:
+    """Device-side reconstruction of [0,1] RGB from a loader batch that used
+    either the RGB or the YCbCr-4:2:0 transport (data.BatchLoader)."""
+    if "image" in batch:
+        return batch["image"].astype(jnp.float32) / 255.0
+    from chess_vision_tpu.ops.preprocess import ycbcr420_to_rgb
+
+    return ycbcr420_to_rgb(batch["y"], batch["cb"], batch["cr"]) / 255.0
+
+
+def preprocess_train_batch(batch, key, mean, std, dtype=jnp.float32):
+    imgs = _batch_rgb01(batch)
+    keys = jax.random.split(key, imgs.shape[0])
+    return normalize(jax.vmap(_augment_one)(imgs, keys), mean, std, dtype)
+
+
+def preprocess_eval_batch(batch, mean, std, dtype=jnp.float32):
+    return normalize(_batch_rgb01(batch), mean, std, dtype)

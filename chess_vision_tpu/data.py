@@ -106,6 +106,19 @@ class ChessDataset:
             img = img.resize((self.input_size, self.input_size), Image.BILINEAR)
         return np.asarray(img, dtype=np.uint8)
 
+    def load_planes(self, idx: int):
+        """(Y, Cb, Cr) uint8 planes for the YCbCr-4:2:0 transport: native raw
+        JPEG decode when possible, else RGB decode + host conversion."""
+        from chess_vision_tpu import native
+
+        path = os.path.join(self.root_dir, self.samples[idx]["filename"])
+        planes = native.decode_file_ycbcr420(path, self.input_size)
+        if planes is not None:
+            return planes
+        from chess_vision_tpu.serve import rgb_to_ycbcr420
+
+        return rgb_to_ycbcr420(self.load_image(idx))
+
     def __getitem__(self, idx: int):
         return self.load_image(idx), self.labels_for(idx)
 
@@ -143,6 +156,7 @@ class BatchLoader:
         num_workers: int = 6,
         drop_remainder: bool = False,
         prefetch: int = 2,
+        transport: str = "rgb",
     ):
         self.dataset = dataset
         self.indices = np.asarray(indices)
@@ -152,6 +166,7 @@ class BatchLoader:
         self.num_workers = max(num_workers, 1)
         self.drop_remainder = drop_remainder
         self.prefetch = prefetch
+        self.transport = transport  # "rgb" | "ycbcr420" (half the H2D bytes)
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -163,12 +178,10 @@ class BatchLoader:
         if n_real < self.batch_size and not self.drop_remainder:
             pad = np.full(self.batch_size - n_real, idx_chunk[-1])
             idx_chunk = np.concatenate([idx_chunk, pad])
-        images = list(pool.map(self.dataset.load_image, idx_chunk))
         labels = [self.dataset.labels_for(i) for i in idx_chunk]
         mask = np.zeros(len(idx_chunk), np.float32)
         mask[:n_real] = 1.0
-        return {
-            "image": np.stack(images),
+        batch = {
             "squares": np.stack([l["squares"] for l in labels]).astype(np.int32),
             "turn": np.stack([l["turn"] for l in labels]),
             "castling": np.stack([l["castling"] for l in labels]),
@@ -177,6 +190,16 @@ class BatchLoader:
             "indices": np.asarray(idx_chunk, np.int64),
             "n_real": n_real,
         }
+        if self.transport == "ycbcr420":
+            planes = list(pool.map(self.dataset.load_planes, idx_chunk))
+            batch["y"] = np.stack([p[0] for p in planes])
+            batch["cb"] = np.stack([p[1] for p in planes])
+            batch["cr"] = np.stack([p[2] for p in planes])
+        else:
+            batch["image"] = np.stack(
+                list(pool.map(self.dataset.load_image, idx_chunk))
+            )
+        return batch
 
     def __iter__(self):
         order = self.indices

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from chess_vision_tpu.augment import preprocess_eval
+from chess_vision_tpu.augment import preprocess_eval_batch
 from chess_vision_tpu.fen import INDEX_TO_PIECE, NUM_CLASSES, labels_to_fen
 from chess_vision_tpu.parallel.mesh import shard_batch
 from chess_vision_tpu.train.losses import weighted_smoothed_cross_entropy
@@ -39,7 +39,7 @@ def castling_category(castling_str: str) -> str:
 
 def make_eval_batch_fn(model, mean, std):
     def eval_batch(params, batch_stats, batch):
-        images = preprocess_eval(batch["image"], mean, std)
+        images = preprocess_eval_batch(batch, mean, std)
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats

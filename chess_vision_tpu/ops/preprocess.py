@@ -76,22 +76,17 @@ def _preprocess_xla(images_u8, mean, std, out_dtype):
     return x.astype(out_dtype)
 
 
-def ycbcr420_to_normalized(
-    y: jnp.ndarray,
-    cb: jnp.ndarray,
-    cr: jnp.ndarray,
-    mean,
-    std,
-    out_dtype=jnp.bfloat16,
+def ycbcr420_to_rgb(
+    y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray
 ) -> jnp.ndarray:
-    """Subsampled JPEG planes -> normalized RGB, entirely on device.
+    """Subsampled JPEG planes -> RGB float in [0, 255], entirely on device.
 
     Inputs: Y (B, S, S) uint8, Cb/Cr (B, S/2, S/2) uint8 as produced by
     native.decode_ycbcr420. Chroma is bilinearly upsampled (half-pixel
     centers, the same triangle filter libjpeg's fancy upsampler uses) and
-    converted with the JFIF full-range BT.601 matrix, then mean/std
-    normalized. Shipping planes instead of RGB halves host->device bytes —
-    the serving bottleneck.
+    converted with the JFIF full-range BT.601 matrix. Shipping planes
+    instead of RGB halves host->device bytes — the transfer bottleneck for
+    both serving and training input.
     """
     B, S, _ = y.shape
     yf = y.astype(jnp.float32)
@@ -103,7 +98,19 @@ def ycbcr420_to_normalized(
     r = yf + 1.402 * crf
     g = yf - 0.344136 * cbf - 0.714136 * crf
     b = yf + 1.772 * cbf
-    rgb = jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)
+    return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)
+
+
+def ycbcr420_to_normalized(
+    y: jnp.ndarray,
+    cb: jnp.ndarray,
+    cr: jnp.ndarray,
+    mean,
+    std,
+    out_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Planes -> mean/std-normalized RGB in one device program (serving)."""
+    rgb = ycbcr420_to_rgb(y, cb, cr)
     mean = jnp.asarray(mean, jnp.float32) * 255.0
     std = jnp.asarray(std, jnp.float32) * 255.0
     return ((rgb - mean) / std).astype(out_dtype)

@@ -16,7 +16,10 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from chess_vision_tpu.augment import preprocess_eval, preprocess_train
+from chess_vision_tpu.augment import (
+    preprocess_eval_batch,
+    preprocess_train_batch,
+)
 from chess_vision_tpu.train.losses import total_loss
 from chess_vision_tpu.train.metrics import accumulate, batch_metric_sums, finalize
 from chess_vision_tpu.parallel.mesh import shard_batch
@@ -38,7 +41,7 @@ def make_steps(model, cfg: dict, class_weights, mean, std):
     def train_step(state, batch, base_rng):
         rng = jax.random.fold_in(base_rng, state.step)
         aug_rng, drop_rng = jax.random.split(rng)
-        images = preprocess_train(batch["image"], aug_rng, mean, std)
+        images = preprocess_train_batch(batch, aug_rng, mean, std)
 
         def loss_fn(params):
             out = model.apply(
@@ -62,7 +65,7 @@ def make_steps(model, cfg: dict, class_weights, mean, std):
         return new_state, sums
 
     def eval_step(params, batch_stats, batch):
-        images = preprocess_eval(batch["image"], mean, std)
+        images = preprocess_eval_batch(batch, mean, std)
         out = model.apply(_variables(params, batch_stats), images, train=False)
         loss, _ = total_loss(
             out, batch, class_weights, smoothing, turn_w, castling_w

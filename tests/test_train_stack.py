@@ -187,3 +187,35 @@ def test_fsdp_param_sharding_shapes():
     # small/odd stay replicated
     assert placed["small"].sharding.is_fully_replicated
     assert placed["odd"].sharding.is_fully_replicated
+
+
+def test_ycbcr_transport_trains_equivalently(rng, tmp_path):
+    """A loader batch using the plane transport must produce (nearly) the
+    same eval metrics as the RGB transport on the same images."""
+    import os
+
+    from chess_vision_tpu.data import BatchLoader, ChessDataset
+    from chess_vision_tpu.datagen.generate import generate_split
+
+    d = str(tmp_path / "imgs")
+    generate_split(d, [("random", 8)], size=64, seed=11, workers=1)
+    ds = ChessDataset(d, input_size=64)
+    cfg = _small_cfg()
+    model, state, schedule, (train_step, eval_step) = _setup(cfg)
+    mesh = make_mesh(jax.devices()[:1])
+
+    def metrics_for(transport):
+        loader = BatchLoader(ds, np.arange(8), 8, num_workers=1,
+                             transport=transport)
+        batch = next(iter(loader))
+        keys = {"image"} if transport == "rgb" else {"y", "cb", "cr"}
+        assert keys <= set(batch)
+        out = eval_step(state.params, state.batch_stats,
+                        shard_batch(batch, mesh))
+        return finalize(accumulate(None, out))
+
+    m_rgb = metrics_for("rgb")
+    m_planes = metrics_for("ycbcr420")
+    # same images, same model; chroma subsampling may flip a rare near-tie
+    assert abs(m_rgb["square_acc"] - m_planes["square_acc"]) < 0.05
+    assert abs(m_rgb["loss"] - m_planes["loss"]) < 0.05

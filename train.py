@@ -107,12 +107,14 @@ def main():
             f"batch_size {batch_size} must be divisible by {n_dev} devices"
         )
     num_workers = cfg["data"].get("num_workers", 6)
+    transport = cfg["data"].get("transport", "rgb")
     train_loader = BatchLoader(
         dataset, train_idx, batch_size, shuffle=True, seed=args.seed,
-        num_workers=num_workers, drop_remainder=True,
+        num_workers=num_workers, drop_remainder=True, transport=transport,
     )
     val_loader = BatchLoader(
         dataset, val_idx, batch_size, num_workers=num_workers,
+        transport=transport,
     )
     print(f"Train: {len(train_idx)}, Val: {len(val_idx)}")
     if len(train_loader) == 0:
