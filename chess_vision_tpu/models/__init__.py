@@ -46,6 +46,7 @@ def build_model(cfg: dict) -> nn.Module:
             square_overlap=model_cfg.get("square_overlap", 1.5),
             square_input_size=model_cfg.get("square_input_size", 64),
             head_dropout=model_cfg.get("head_dropout", 0.0),
+            pin_backbone_bn=model_cfg.get("pin_backbone_bn", True),
             dtype=dtype,
         )
     raise ValueError(f"Unknown architecture: {arch!r} (expected one of {ARCHS})")

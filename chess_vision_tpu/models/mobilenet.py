@@ -39,7 +39,7 @@ class ConvBnAct(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, use_running_average: bool = True):
         x = nn.Conv(
             self.out_ch,
             kernel_size=(self.kernel, self.kernel),
@@ -51,7 +51,8 @@ class ConvBnAct(nn.Module):
             name="conv",
         )(x)
         x = nn.BatchNorm(
-            use_running_average=True, epsilon=1e-5, dtype=self.dtype, name="bn"
+            use_running_average=use_running_average, epsilon=1e-5,
+            dtype=self.dtype, name="bn",
         )(x)
         if self.act:
             x = nn.relu(x)
@@ -74,21 +75,22 @@ class UniversalInvertedResidual(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, use_running_average: bool = True):
         in_ch = x.shape[-1]
         shortcut = x
         mid_ch = _round_channels(in_ch * self.expand_ratio)
+        ura = use_running_average
 
         if self.dw_start:
             s = self.stride if not self.dw_mid else 1
             x = ConvBnAct(in_ch, self.dw_start, s, groups=in_ch, act=False,
-                          dtype=self.dtype, name="dw_start")(x)
-        x = ConvBnAct(mid_ch, 1, 1, dtype=self.dtype, name="pw_exp")(x)
+                          dtype=self.dtype, name="dw_start")(x, ura)
+        x = ConvBnAct(mid_ch, 1, 1, dtype=self.dtype, name="pw_exp")(x, ura)
         if self.dw_mid:
             x = ConvBnAct(mid_ch, self.dw_mid, self.stride, groups=mid_ch,
-                          dtype=self.dtype, name="dw_mid")(x)
+                          dtype=self.dtype, name="dw_mid")(x, ura)
         x = ConvBnAct(self.out_ch, 1, 1, act=False, dtype=self.dtype,
-                      name="pw_proj")(x)
+                      name="pw_proj")(x, ura)
 
         if self.stride == 1 and in_ch == self.out_ch:
             x = x + shortcut
@@ -125,6 +127,7 @@ _CONV_SMALL_ARCH = [
 class MobileNetV4Backbone(nn.Module):
     width_mult: float = 0.5
     stem_size: int = 32
+    trainable_bn: bool = False  # False = reference pinned-eval BN semantics
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -135,25 +138,29 @@ class MobileNetV4Backbone(nn.Module):
     def __call__(self, x, train: bool = False):
         """x: (B, H, W, 3) -> (B, H/32, W/32, num_features) pre-pool features.
 
-        `train` is accepted for API uniformity; BN always uses running stats
-        (see module docstring).
+        With trainable_bn=False (default), BN always uses running stats —
+        the reference's pinned-eval semantics, correct with pretrained
+        stats. trainable_bn=True updates batch stats during training (the
+        right choice for from-scratch training, where pinned random-init
+        stats mean no normalization at all); callers must then apply the
+        model with mutable=["batch_stats"].
         """
-        del train
+        ura = not (train and self.trainable_bn)
         w = self.width_mult
         x = ConvBnAct(_round_channels(self.stem_size * w), 3, 2,
-                      dtype=self.dtype, name="stem")(x)
+                      dtype=self.dtype, name="stem")(x, ura)
         for si, stage in enumerate(_CONV_SMALL_ARCH):
             for bi, blk in enumerate(stage):
                 name = f"stage{si}_block{bi}"
                 if blk[0] == "cn":
                     _, k, s, c = blk
                     x = ConvBnAct(_round_channels(c * w), k, s,
-                                  dtype=self.dtype, name=name)(x)
+                                  dtype=self.dtype, name=name)(x, ura)
                 else:
                     _, a, m, s, e, c = blk
                     x = UniversalInvertedResidual(
                         out_ch=_round_channels(c * w), expand_ratio=e,
                         dw_start=a, dw_mid=m, stride=s,
                         dtype=self.dtype, name=name,
-                    )(x)
+                    )(x, ura)
         return x

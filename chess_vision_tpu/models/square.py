@@ -23,6 +23,7 @@ class ChessSquareCNN(nn.Module):
     square_overlap: float = 1.5
     square_input_size: int = 64
     head_dropout: float = 0.0
+    pin_backbone_bn: bool = True  # reference semantics (models/square.py:80-89)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -35,7 +36,10 @@ class ChessSquareCNN(nn.Module):
         )  # (B, 64, s, s, C)
         crops = crops.reshape((B * 64,) + crops.shape[2:])
 
-        backbone = MobileNetV4Backbone(dtype=self.dtype, name="backbone")
+        backbone = MobileNetV4Backbone(
+            trainable_bn=not self.pin_backbone_bn, dtype=self.dtype,
+            name="backbone",
+        )
         feat = backbone(crops, train=train)            # (B*64, h, w, F)
         features = global_avg_pool_nhwc(feat)          # (B*64, F)
 

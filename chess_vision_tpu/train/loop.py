@@ -44,21 +44,24 @@ def make_steps(model, cfg: dict, class_weights, mean, std):
         images = preprocess_train_batch(batch, aug_rng, mean, std)
 
         def loss_fn(params):
-            out = model.apply(
+            out, mutated = model.apply(
                 _variables(params, state.batch_stats),
                 images,
                 train=True,
                 rngs={"dropout": drop_rng},
+                mutable=["batch_stats"],
             )
             loss, aux = total_loss(
                 out, batch, class_weights, smoothing, turn_w, castling_w
             )
-            return loss, (out, aux)
+            return loss, (out, aux, mutated.get("batch_stats"))
 
-        (loss, (out, aux)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        (loss, (out, aux, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
         new_state = state.apply_gradients(grads)
+        if new_bs is not None:  # BN stats trained (pin_backbone_bn=false)
+            new_state = new_state.replace(batch_stats=new_bs)
         sums = batch_metric_sums(out, batch, loss)
         sums["step_loss"] = loss.astype(jnp.float32)
         sums["step_piece_loss"] = aux["piece_loss"].astype(jnp.float32)

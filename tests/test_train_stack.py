@@ -219,3 +219,22 @@ def test_ycbcr_transport_trains_equivalently(rng, tmp_path):
     # same images, same model; chroma subsampling may flip a rare near-tie
     assert abs(m_rgb["square_acc"] - m_planes["square_acc"]) < 0.05
     assert abs(m_rgb["loss"] - m_planes["loss"]) < 0.05
+
+
+def test_trainable_bn_updates_stats(rng):
+    """pin_backbone_bn=false must update BN running stats during training;
+    the default (reference semantics) must not."""
+    for pin, should_move in ((True, False), (False, True)):
+        cfg = _small_cfg()
+        cfg["model"]["pin_backbone_bn"] = pin
+        model, state, schedule, (train_step, eval_step) = _setup(cfg)
+        mesh = make_mesh(jax.devices()[:1])
+        before = jax.tree.map(np.asarray, state.batch_stats)
+        batch = _fake_batch(rng)
+        state, _ = train_step(state, shard_batch(batch, mesh), jax.random.key(0))
+        after = jax.tree.map(np.asarray, state.batch_stats)
+        moved = any(
+            not np.array_equal(a, b)
+            for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after))
+        )
+        assert moved == should_move, (pin, moved)
