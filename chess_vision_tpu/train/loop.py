@@ -92,6 +92,7 @@ def run_train_epoch(
     base_rng,
     step_log: Callable | None = None,
     schedule=None,
+    profile_stop_after: int | None = None,
 ):
     """One training epoch. Returns (state, metrics dict).
 
@@ -119,6 +120,15 @@ def run_train_epoch(
             rate = (i + 1) / max(_time.time() - t0, 1e-9)
             print(f"    step {i + 1}/{n_batches or '?'} "
                   f"({rate:.2f} it/s)", file=sys.stderr, flush=True)
+        if profile_stop_after is not None and i + 1 >= profile_stop_after:
+            import jax as _jax
+
+            _jax.block_until_ready(sums)
+            try:
+                _jax.profiler.stop_trace()
+            except Exception:
+                pass
+            profile_stop_after = None
     return state, finalize(total)
 
 

@@ -82,10 +82,29 @@ def main():
     parser.add_argument("--set", nargs="*", default=[],
                         help="Override config values, e.g. training.epochs=10")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--auto-resume", action="store_true",
+                        help="Resume from <save_dir>/latest.ckpt when present "
+                             "(crash recovery without repeating the flag)")
+    parser.add_argument("--profile-steps", type=int, default=0,
+                        help="Capture a jax.profiler trace of the first N "
+                             "steps of epoch 1 into the TensorBoard dir")
     args = parser.parse_args()
 
     cfg = load_config(args.config)
     apply_overrides(cfg, args.set)
+
+    if cfg["training"].get("debug_nans", False):
+        # numeric race/corruption detector (SURVEY.md §5: the jax analogue of
+        # the reference's absent sanitizers)
+        jax.config.update("jax_debug_nans", True)
+
+    if args.auto_resume and not args.resume:
+        candidate = os.path.join(
+            cfg["checkpointing"]["save_dir"], "latest.ckpt"
+        )
+        if os.path.exists(candidate):
+            args.resume = candidate
+            print(f"Auto-resuming from {candidate}")
 
     mesh = make_mesh()
     n_dev = mesh.devices.size
@@ -214,10 +233,25 @@ def main():
         print(f"\nEpoch {epoch + 1}/{epochs}")
         t0 = time.time()
 
+        profiling = args.profile_steps > 0 and epoch == start_epoch
+        if profiling:
+            try:
+                jax.profiler.start_trace(tb_dir)
+            except Exception as e:
+                print(f"profiler unavailable: {e}")
+                profiling = False
+
         state, train_metrics = run_train_epoch(
             train_step, state, train_loader, mesh, base_rng,
             step_log=logger.log_step, schedule=schedule,
+            profile_stop_after=args.profile_steps if profiling else None,
         )
+        if profiling:
+            try:
+                jax.profiler.stop_trace()
+                print(f"profiler trace written to {tb_dir}")
+            except Exception:
+                pass
         val_metrics = run_eval_epoch(eval_step, state, val_loader, mesh)
         ood_metrics = (
             run_eval_epoch(eval_step, state, ood_loader, mesh)
