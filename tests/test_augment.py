@@ -1,0 +1,99 @@
+"""Device-side augmentation pipeline tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chess_vision_tpu.augment import (
+    _adjust_brightness,
+    _adjust_contrast,
+    _adjust_hue,
+    _adjust_saturation,
+    _gaussian_blur,
+    _grayscale,
+    _hsv_to_rgb,
+    _rgb_to_hsv,
+    augment_batch,
+    normalize,
+)
+
+
+def test_augment_batch_deterministic_and_bounded(rng):
+    imgs = rng.integers(0, 256, (4, 32, 32, 3)).astype(np.uint8)
+    a = np.asarray(augment_batch(jnp.asarray(imgs), jax.random.key(3)))
+    b = np.asarray(augment_batch(jnp.asarray(imgs), jax.random.key(3)))
+    c = np.asarray(augment_batch(jnp.asarray(imgs), jax.random.key(4)))
+    np.testing.assert_array_equal(a, b)      # same key -> same output
+    assert not np.array_equal(a, c)          # different key -> different
+    assert a.min() >= 0.0 and a.max() <= 1.0
+    # per-image independence: different images get different jitter
+    assert not np.allclose(a[0] - imgs[0] / 255.0, a[1] - imgs[1] / 255.0)
+
+
+def test_hsv_roundtrip(rng):
+    img = jnp.asarray(rng.random((16, 16, 3)).astype(np.float32))
+    h, s, v = _rgb_to_hsv(img)
+    back = _hsv_to_rgb(h, s, v)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(img), atol=1e-5)
+
+
+def test_hue_shift_zero_is_identity(rng):
+    img = jnp.asarray(rng.random((8, 8, 3)).astype(np.float32))
+    out = _adjust_hue(img, 0.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+
+
+def test_brightness_contrast_saturation_factors():
+    img = jnp.full((4, 4, 3), 0.5)
+    np.testing.assert_allclose(np.asarray(_adjust_brightness(img, 1.0)), 0.5)
+    np.testing.assert_allclose(
+        np.asarray(_adjust_brightness(img, 0.5)), 0.25
+    )
+    # contrast/saturation with factor 1 are identity
+    np.testing.assert_allclose(np.asarray(_adjust_contrast(img, 1.0)), 0.5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(_adjust_saturation(img, 1.0)), 0.5,
+                               atol=1e-6)
+
+
+def test_grayscale_weights_and_blur_preserves_mean(rng):
+    img = jnp.asarray(rng.random((16, 16, 3)).astype(np.float32))
+    g = np.asarray(_grayscale(img))
+    expected = (
+        0.2989 * np.asarray(img)[..., 0]
+        + 0.587 * np.asarray(img)[..., 1]
+        + 0.114 * np.asarray(img)[..., 2]
+    )
+    np.testing.assert_allclose(g[..., 0], expected, atol=1e-5)
+    np.testing.assert_array_equal(g[..., 0], g[..., 1])
+
+    blurred = np.asarray(_gaussian_blur(img, 1.0))
+    assert blurred.shape == img.shape
+    # blur reduces variance but (with reflect padding) preserves the mean
+    np.testing.assert_allclose(blurred.mean(), np.asarray(img).mean(), atol=1e-3)
+    assert blurred.std() < np.asarray(img).std()
+
+
+def test_blur_matches_torch_conv(rng):
+    import torch
+    import torch.nn.functional as F
+
+    from chess_vision_tpu.augment import _gaussian_kernel_1d
+
+    img = rng.random((16, 16, 3)).astype(np.float32)
+    sigma = 0.9
+    ours = np.asarray(_gaussian_blur(jnp.asarray(img), sigma))
+
+    k1 = np.asarray(_gaussian_kernel_1d(sigma))
+    k2 = np.outer(k1, k1)
+    t = torch.from_numpy(img).permute(2, 0, 1)[None]
+    t = F.pad(t, (2, 2, 2, 2), mode="reflect")
+    weight = torch.from_numpy(k2.astype(np.float32))[None, None].repeat(3, 1, 1, 1)
+    ref = F.conv2d(t, weight, groups=3)[0].permute(1, 2, 0).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_normalize():
+    img = jnp.full((2, 4, 4, 3), 0.5)
+    out = np.asarray(normalize(img, (0.5, 0.5, 0.5), (0.5, 0.5, 0.5)))
+    np.testing.assert_allclose(out, 0.0)
