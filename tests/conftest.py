@@ -21,6 +21,13 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--regen-golden", action="store_true", default=False,
+        help="re-record tests/golden_outputs.json (intentional numerics change)",
+    )
+
+
 @pytest.fixture(scope="session")
 def rng():
     import numpy as np
