@@ -173,7 +173,11 @@ class Predictor:
         return self.infer(self.params, self.batch_stats, dev)
 
     def predict_array(self, images_u8: np.ndarray) -> list[str]:
-        """uint8 (N,S,S,3) -> N FEN strings (padding the tail batch)."""
+        """uint8 (N,S,S,3) RGB -> N FEN strings (padding the tail batch).
+
+        In ycbcr420 mode the RGB input is converted to planes on host so the
+        transfer still ships half the bytes.
+        """
         n = images_u8.shape[0]
         fens: list[str] = []
         window: list[tuple] = []
@@ -191,8 +195,14 @@ class Predictor:
             if count < self.batch_size:
                 pad = np.repeat(chunk[-1:], self.batch_size - count, axis=0)
                 chunk = np.concatenate([chunk, pad])
-            dev = jax.device_put(chunk)
-            window.append((count, self.infer(self.params, self.batch_stats, dev)))
+            if self.mode == "ycbcr420":
+                planes = [rgb_to_ycbcr420(img) for img in chunk]
+                payload = tuple(
+                    np.stack([p[i] for p in planes]) for i in range(3)
+                )
+            else:
+                payload = chunk
+            window.append((count, self._submit(window, payload)))
             if len(window) >= self.inflight:
                 drain_one()
         while window:

@@ -115,3 +115,14 @@ def test_predictor_int8_requires_vit(tiny_ckpt, tmp_path):
                     best_val_acc=0.0, config=cfg)
     with pytest.raises(ValueError):
         Predictor(path, quant="int8")
+
+
+def test_predict_array_both_modes(tiny_ckpt, rng):
+    from chess_vision_tpu.serve import Predictor
+
+    ckpt, _ = tiny_ckpt
+    imgs = rng.integers(0, 256, (5, 64, 64, 3)).astype(np.uint8)
+    fens_rgb = Predictor(ckpt, batch_size=4, mode="rgb").predict_array(imgs)
+    fens_planes = Predictor(ckpt, batch_size=4,
+                            mode="ycbcr420").predict_array(imgs)
+    assert len(fens_rgb) == len(fens_planes) == 5

@@ -149,7 +149,7 @@ def main():
         )
         ood_loader = BatchLoader(
             ood_dataset, np.arange(len(ood_dataset)), batch_size,
-            num_workers=num_workers,
+            num_workers=num_workers, transport=transport,
         )
         print(f"OOD val: {len(ood_dataset)} images from {ood_dir}")
 
