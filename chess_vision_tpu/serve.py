@@ -113,7 +113,8 @@ class Predictor:
 
     def __init__(self, checkpoint_path: str, batch_size: int = 256,
                  decode_workers: int = 8, inflight: int = 4,
-                 mode: str = "rgb", quant: str | None = None):
+                 mode: str = "rgb", quant: str | None = None,
+                 mesh=None):
         ckpt = load_checkpoint(checkpoint_path)
         self.cfg = ckpt["config"]
         self.model = build_model(self.cfg)
@@ -141,6 +142,26 @@ class Predictor:
         self.batch_size = batch_size
         self.decode_workers = decode_workers
         self.inflight = inflight
+        # Multi-chip data-parallel serving: shard the batch axis over the
+        # mesh; params stay replicated and XLA partitions the program.
+        self.mesh = mesh
+        if mesh is not None:
+            from chess_vision_tpu.parallel.mesh import batch_sharding, replicated
+
+            if batch_size % mesh.devices.size:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by "
+                    f"{mesh.devices.size} devices"
+                )
+            self._batch_sharding = batch_sharding(mesh)
+            rep = replicated(mesh)
+            self.params = jax.device_put(
+                self.params, jax.tree.map(lambda _: rep, self.params)
+            )
+            self.batch_stats = jax.device_put(
+                self.batch_stats,
+                jax.tree.map(lambda _: rep, self.batch_stats),
+            )
 
     def _decode(self, path: str) -> np.ndarray:
         from chess_vision_tpu import native
@@ -165,12 +186,17 @@ class Predictor:
             return planes
         return rgb_to_ycbcr420(self._decode(path))
 
+    def _put(self, arr):
+        if self.mesh is not None:
+            return jax.device_put(arr, self._batch_sharding)
+        return jax.device_put(arr)
+
     def _submit(self, window, imgs_or_planes):
         if self.mode == "ycbcr420":
-            y, cb, cr = (jax.device_put(a) for a in imgs_or_planes)
+            y, cb, cr = (self._put(a) for a in imgs_or_planes)
             return self.infer(self.params, self.batch_stats, y, cb, cr)
-        dev = jax.device_put(imgs_or_planes)
-        return self.infer(self.params, self.batch_stats, dev)
+        return self.infer(self.params, self.batch_stats,
+                          self._put(imgs_or_planes))
 
     def predict_array(self, images_u8: np.ndarray) -> list[str]:
         """uint8 (N,S,S,3) RGB -> N FEN strings (padding the tail batch).

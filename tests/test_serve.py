@@ -126,3 +126,21 @@ def test_predict_array_both_modes(tiny_ckpt, rng):
     fens_planes = Predictor(ckpt, batch_size=4,
                             mode="ycbcr420").predict_array(imgs)
     assert len(fens_rgb) == len(fens_planes) == 5
+
+
+def test_predictor_multichip_mesh_matches_single(tiny_ckpt, rng):
+    """DP-sharded serving over the 8-device mesh must equal 1-device output."""
+    import jax
+
+    from chess_vision_tpu.parallel.mesh import make_mesh
+    from chess_vision_tpu.serve import Predictor
+
+    ckpt, _ = tiny_ckpt
+    imgs = rng.integers(0, 256, (8, 64, 64, 3)).astype(np.uint8)
+    single = Predictor(ckpt, batch_size=8).predict_array(imgs)
+    mesh = make_mesh(jax.devices())
+    sharded = Predictor(ckpt, batch_size=8, mesh=mesh).predict_array(imgs)
+    assert single == sharded
+
+    with pytest.raises(ValueError):
+        Predictor(ckpt, batch_size=6, mesh=mesh)
