@@ -191,7 +191,7 @@ class Predictor:
             return jax.device_put(arr, self._batch_sharding)
         return jax.device_put(arr)
 
-    def _submit(self, window, imgs_or_planes):
+    def _submit(self, imgs_or_planes):
         if self.mode == "ycbcr420":
             y, cb, cr = (self._put(a) for a in imgs_or_planes)
             return self.infer(self.params, self.batch_stats, y, cb, cr)
@@ -228,7 +228,7 @@ class Predictor:
                 )
             else:
                 payload = chunk
-            window.append((count, self._submit(window, payload)))
+            window.append((count, self._submit(payload)))
             if len(window) >= self.inflight:
                 drain_one()
         while window:
@@ -281,7 +281,7 @@ class Predictor:
             if item is None:
                 break
             count, batch = item
-            window.append((count, self._submit(window, batch)))
+            window.append((count, self._submit(batch)))
             if len(window) >= self.inflight:
                 drain_one()
         while window:
