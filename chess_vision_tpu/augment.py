@@ -24,7 +24,6 @@ torchvision parity notes:
 from __future__ import annotations
 
 import itertools
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -7,8 +7,6 @@ equivalent of the reference's AMP autocast, reference train.py:144).
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -17,8 +17,6 @@ pins the square-model backbone in eval mode to preserve pretrained BN stats
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax.numpy as jnp
 from flax import linen as nn
 

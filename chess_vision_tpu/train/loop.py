@@ -10,7 +10,6 @@ reference train.py:172-198).
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax

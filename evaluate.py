@@ -18,8 +18,6 @@ def main():
 
     apply_platform_env()
 
-    import jax
-
     from chess_vision_tpu.config import get_data_config
     from chess_vision_tpu.data import BatchLoader, ChessDataset
     from chess_vision_tpu.evaluate import evaluate

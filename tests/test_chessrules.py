@@ -5,7 +5,6 @@ import pytest
 
 from chess_vision_tpu.datagen.chessrules import (
     Game,
-    Move,
     name_sq,
     strip_pgn_movetext,
 )

@@ -8,7 +8,6 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 import torch
 import torch.nn as nn
 import torch.nn.functional as F
@@ -211,10 +210,7 @@ def test_pos_embed_resample_identity_and_shape():
 def test_mobilenet_conversion_structural():
     """Synthesize a timm-style MNv4 state_dict from the arch table and check
     the converted tree matches the flax model's template exactly."""
-    from chess_vision_tpu.convert.timm_convert import (
-        _verify_against_model,
-        convert_mobilenet_backbone,
-    )
+    from chess_vision_tpu.convert.timm_convert import convert_mobilenet_backbone
     from chess_vision_tpu.models import abstract_variables, build_model
     from chess_vision_tpu.models.mobilenet import (
         _CONV_SMALL_ARCH,

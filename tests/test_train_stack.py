@@ -6,7 +6,6 @@ freeze-backbone masking.
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from chess_vision_tpu.models import build_model
 from chess_vision_tpu.parallel.mesh import (
@@ -192,8 +191,6 @@ def test_fsdp_param_sharding_shapes():
 def test_ycbcr_transport_trains_equivalently(rng, tmp_path):
     """A loader batch using the plane transport must produce (nearly) the
     same eval metrics as the RGB transport on the same images."""
-    import os
-
     from chess_vision_tpu.data import BatchLoader, ChessDataset
     from chess_vision_tpu.datagen.generate import generate_split
 

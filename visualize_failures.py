@@ -19,7 +19,6 @@ def main():
 
     apply_platform_env()
 
-    import jax
     import numpy as np
 
     from chess_vision_tpu.config import get_data_config
