@@ -47,6 +47,7 @@ class Game:
         # castling rights: K, Q, k, q
         self.rights = {"K": True, "Q": True, "k": True, "q": True}
         self.ep: int | None = None  # en-passant target square
+        self.last_move: tuple[int, int] | None = None  # (src, dst) of last ply
 
     # -- FEN output ------------------------------------------------------
     def placement_fen(self) -> str:
@@ -302,6 +303,7 @@ class Game:
 
     def push(self, m: Move) -> None:
         self._apply(m)
+        self.last_move = (m.src, m.dst)
 
     # -- SAN / PGN -------------------------------------------------------
     def push_san(self, san: str) -> None:

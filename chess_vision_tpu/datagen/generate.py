@@ -91,7 +91,8 @@ def generate_split(
     assignments = []
     for i, pos in enumerate(positions):
         style = random_style(rng, highlight_pct=highlight_pct,
-                             flip_pct=flip_pct, texture_pct=texture_pct)
+                             flip_pct=flip_pct, texture_pct=texture_pct,
+                             last_move=pos.last_move)
         render_seed = int(rng.integers(0, 2**31 - 1))
         pos_fields = (pos.placement, pos.turn, pos.castling, pos.en_passant,
                       pos.legal)

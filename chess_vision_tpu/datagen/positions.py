@@ -30,6 +30,7 @@ class Position:
     castling: str = "-"
     en_passant: str = "-"
     legal: bool = False
+    last_move: tuple | None = None  # (src, dst) squares of the last ply
 
     @property
     def full_fen(self) -> str:
@@ -87,6 +88,7 @@ def game_positions(
                     castling=game.castling_fen(),
                     en_passant=game.en_passant_fen(),
                     legal=True,
+                    last_move=game.last_move,
                 )
             )
     return out
@@ -157,6 +159,7 @@ def positions_from_pgn(
                         castling=game.castling_fen(),
                         en_passant=game.en_passant_fen(),
                         legal=True,
+                        last_move=game.last_move,
                     )
                 )
         except ValueError:

@@ -122,16 +122,20 @@ def random_style(
     highlight_pct: float = 0.6,
     flip_pct: float = 0.3,
     texture_pct: float = 0.5,
+    last_move: tuple | None = None,
 ) -> BoardStyle:
     piece_style = PIECE_STYLE_NAMES[int(rng.integers(0, len(PIECE_STYLE_NAMES)))]
     if rng.random() < 0.5:
         light, dark = _FIXED_PALETTES[int(rng.integers(0, len(_FIXED_PALETTES)))]
     else:
         light, dark = _random_palette(rng)
+    # Highlight marks the REAL last move (reference render.js:204-208 uses
+    # item.lastMove) — it is what makes side-to-move visually inferable.
+    # Positions without a move history (random source) get no highlight.
     highlight = None
-    if rng.random() < highlight_pct:
-        a, b = rng.choice(64, size=2, replace=False)
-        highlight = (int(a), int(b), int(rng.integers(0, len(_HIGHLIGHT_COLORS))))
+    if last_move is not None and rng.random() < highlight_pct:
+        highlight = (int(last_move[0]), int(last_move[1]),
+                     int(rng.integers(0, len(_HIGHLIGHT_COLORS))))
     texture = None
     if rng.random() < texture_pct:
         kind = TEXTURE_KINDS[int(rng.integers(0, len(TEXTURE_KINDS)))]
@@ -190,6 +194,8 @@ def render_board(
     if style.highlight is not None:
         a, b, color_idx = style.highlight
         for s in (a, b):
+            if style.flipped:
+                s = 63 - s  # highlights follow the board orientation
             r, c = divmod(s, 8)
             draw.rectangle(
                 [c * sq_px, r * sq_px, (c + 1) * sq_px + 1, (r + 1) * sq_px + 1],
