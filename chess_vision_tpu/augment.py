@@ -216,10 +216,16 @@ def _batch_rgb01(batch: dict) -> jnp.ndarray:
     return ycbcr420_to_rgb(batch["y"], batch["cb"], batch["cr"]) / 255.0
 
 
-def preprocess_train_batch(batch, key, mean, std, dtype=jnp.float32):
+def preprocess_train_batch(batch, key, mean, std, dtype=jnp.float32,
+                           channel_perm_p: float = 0.0, invert_p: float = 0.0):
     imgs = _batch_rgb01(batch)
     keys = jax.random.split(key, imgs.shape[0])
-    return normalize(jax.vmap(_augment_one)(imgs, keys), mean, std, dtype)
+    return normalize(
+        jax.vmap(
+            lambda im, k: _augment_one(im, k, channel_perm_p, invert_p)
+        )(imgs, keys),
+        mean, std, dtype,
+    )
 
 
 def preprocess_eval_batch(batch, mean, std, dtype=jnp.float32):

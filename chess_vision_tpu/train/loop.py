@@ -30,6 +30,10 @@ def make_steps(model, cfg: dict, class_weights, mean, std):
     smoothing = tcfg.get("label_smoothing", 0.0)
     turn_w = float(tcfg.get("turn_loss_weight", 1.0))
     castling_w = float(tcfg.get("castling_loss_weight", 1.0))
+    # optional extra augmentations (reference defines them disabled,
+    # dataset.py:123-143)
+    channel_perm_p = float(tcfg.get("channel_perm_p", 0.0))
+    invert_p = float(tcfg.get("invert_p", 0.0))
 
     def _variables(params, batch_stats):
         variables = {"params": params}
@@ -40,7 +44,10 @@ def make_steps(model, cfg: dict, class_weights, mean, std):
     def train_step(state, batch, base_rng):
         rng = jax.random.fold_in(base_rng, state.step)
         aug_rng, drop_rng = jax.random.split(rng)
-        images = preprocess_train_batch(batch, aug_rng, mean, std)
+        images = preprocess_train_batch(
+            batch, aug_rng, mean, std,
+            channel_perm_p=channel_perm_p, invert_p=invert_p,
+        )
 
         def loss_fn(params):
             out, mutated = model.apply(
