@@ -166,7 +166,7 @@ class BatchLoader:
         self.num_workers = max(num_workers, 1)
         self.drop_remainder = drop_remainder
         self.prefetch = prefetch
-        self.transport = transport  # "rgb" | "ycbcr420" (half the H2D bytes)
+        self.transport = transport  # "rgb" | "ycbcr420" | "packed"
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -195,6 +195,31 @@ class BatchLoader:
             batch["y"] = np.stack([p[0] for p in planes])
             batch["cb"] = np.stack([p[1] for p in planes])
             batch["cr"] = np.stack([p[2] for p in planes])
+        elif self.transport == "packed":
+            # One uint8 pixel buffer + one f32 label buffer per batch: the
+            # fewest host->device transfers (high-latency links pay per-array
+            # RPC overhead, not just bytes). Pixels are YCbCr-4:2:0 planes
+            # flattened and concatenated; labels/mask are packed columns.
+            planes = list(pool.map(self.dataset.load_planes, idx_chunk))
+            B = len(planes)
+            batch["pixels"] = np.concatenate(
+                [
+                    np.stack([p[0] for p in planes]).reshape(B, -1),
+                    np.stack([p[1] for p in planes]).reshape(B, -1),
+                    np.stack([p[2] for p in planes]).reshape(B, -1),
+                ],
+                axis=1,
+            )
+            batch["labels"] = np.concatenate(
+                [
+                    batch.pop("squares").astype(np.float32),
+                    batch.pop("turn"),
+                    batch.pop("castling"),
+                    batch.pop("legal"),
+                    batch.pop("mask")[:, None],
+                ],
+                axis=1,
+            ).astype(np.float32)
         else:
             batch["image"] = np.stack(
                 list(pool.map(self.dataset.load_image, idx_chunk))

@@ -24,9 +24,33 @@ from chess_vision_tpu.train.metrics import accumulate, batch_metric_sums, finali
 from chess_vision_tpu.parallel.mesh import shard_batch
 
 
+def unpack_batch(batch: dict, input_size: int) -> dict:
+    """Unpack the 'packed' loader transport (data.BatchLoader): one uint8
+    pixel buffer (flattened YCbCr-4:2:0 planes) + one f32 label buffer back
+    into the standard batch dict, on device inside the jitted step."""
+    if "pixels" not in batch:
+        return batch
+    B = batch["pixels"].shape[0]
+    s, h = input_size, input_size // 2
+    n_y, n_c = s * s, h * h
+    pixels = batch["pixels"]
+    labels = batch["labels"]
+    return {
+        "y": pixels[:, :n_y].reshape(B, s, s),
+        "cb": pixels[:, n_y : n_y + n_c].reshape(B, h, h),
+        "cr": pixels[:, n_y + n_c :].reshape(B, h, h),
+        "squares": labels[:, :64].astype(jnp.int32),
+        "turn": labels[:, 64:65],
+        "castling": labels[:, 65:69],
+        "legal": labels[:, 69:70],
+        "mask": labels[:, 70],
+    }
+
+
 def make_steps(model, cfg: dict, class_weights, mean, std):
     """Build (train_step, eval_step) pure functions ready for jit."""
     tcfg = cfg["training"]
+    input_size = cfg["model"].get("input_size") or 224
     smoothing = tcfg.get("label_smoothing", 0.0)
     turn_w = float(tcfg.get("turn_loss_weight", 1.0))
     castling_w = float(tcfg.get("castling_loss_weight", 1.0))
@@ -42,6 +66,7 @@ def make_steps(model, cfg: dict, class_weights, mean, std):
         return variables
 
     def train_step(state, batch, base_rng):
+        batch = unpack_batch(batch, input_size)
         rng = jax.random.fold_in(base_rng, state.step)
         aug_rng, drop_rng = jax.random.split(rng)
         images = preprocess_train_batch(
@@ -74,6 +99,7 @@ def make_steps(model, cfg: dict, class_weights, mean, std):
         return new_state, sums
 
     def eval_step(params, batch_stats, batch):
+        batch = unpack_batch(batch, input_size)
         images = preprocess_eval_batch(batch, mean, std)
         out = model.apply(_variables(params, batch_stats), images, train=False)
         loss, _ = total_loss(

@@ -6,6 +6,7 @@ freeze-backbone masking.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from chess_vision_tpu.models import build_model
 from chess_vision_tpu.parallel.mesh import (
@@ -235,3 +236,35 @@ def test_trainable_bn_updates_stats(rng):
             for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after))
         )
         assert moved == should_move, (pin, moved)
+
+
+def test_packed_transport_equivalent(rng, tmp_path):
+    """Packed single-buffer transport == RGB transport metrics (same data)."""
+    from chess_vision_tpu.data import BatchLoader, ChessDataset
+    from chess_vision_tpu.datagen.generate import generate_split
+
+    d = str(tmp_path / "imgs")
+    generate_split(d, [("random", 8)], size=64, seed=12, workers=1)
+    ds = ChessDataset(d, input_size=64)
+    cfg = _small_cfg()
+    model, state, schedule, (train_step, eval_step) = _setup(cfg)
+    mesh = make_mesh(jax.devices()[:1])
+
+    def metrics_for(transport):
+        loader = BatchLoader(ds, np.arange(8), 8, num_workers=1,
+                             transport=transport)
+        batch = next(iter(loader))
+        if transport == "packed":
+            assert set(batch) >= {"pixels", "labels"}
+            assert batch["pixels"].dtype == np.uint8
+        out = eval_step(state.params, state.batch_stats,
+                        shard_batch(batch, mesh))
+        return finalize(accumulate(None, out))
+
+    m_rgb = metrics_for("rgb")
+    m_packed = metrics_for("packed")
+    assert abs(m_rgb["square_acc"] - m_packed["square_acc"]) < 0.05
+    assert abs(m_rgb["loss"] - m_packed["loss"]) < 0.05
+    # packed ycbcr matches the ycbcr transport exactly
+    m_planes = metrics_for("ycbcr420")
+    assert m_planes["loss"] == pytest.approx(m_packed["loss"], rel=1e-5)
