@@ -27,8 +27,12 @@ import itertools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_GRAY = jnp.asarray([0.2989, 0.587, 0.114], jnp.float32)
+# numpy (not jnp) on purpose: a module-level jnp constant would initialize
+# the default jax backend at import time, before CLIs can force a platform
+# via utils.platform.apply_platform_env().
+_GRAY = np.asarray([0.2989, 0.587, 0.114], np.float32)
 
 # torchvision ColorJitter ranges for the reference's (0.3, 0.3, 0.3, 0.1).
 _BRIGHTNESS = (0.7, 1.3)

@@ -178,6 +178,11 @@ def evaluate(model, params, batch_stats, dataset, loader, mesh, mean, std,
 
 
 def _print_report(metrics, conf, turn_conf, castling_right, worst):
+    # Deliberate format-parity port: this block (and print_grouped_metrics
+    # below) mirrors the reference report text byte-for-byte (reference
+    # evaluate.py:159-287) because identical report output is a stated parity
+    # goal. The computation feeding it is redesigned (device-side confusion
+    # matrices, one jitted program); only the console formatting is copied.
     n = metrics["total_boards"]
     n_legal = metrics["total_legal"]
     print("\n" + "=" * 60)
