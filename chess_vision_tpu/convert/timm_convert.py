@@ -158,8 +158,11 @@ def convert_convnext_backbone(sd: dict, depths=(3, 3, 9, 3)) -> dict:
 
 
 # ---------------------------------------------------------------------------
-# MobileNetV4 backbone (timm efficientnet-builder naming; best-effort — the
-# exact timm _050 layout could not be verified offline)
+# MobileNetV4 backbone (timm efficientnet-builder naming). The stage table
+# reproduces timm's mobilenetv4 conv_small arch_def; at 0.5 width with the
+# unscaled 1280 conv_head the full ChessSquareCNN lands on 2,925,183 params,
+# matching the reference's published ~2.9M (README.md:9-11) — the strongest
+# offline check available (no timm to diff against in this environment).
 # ---------------------------------------------------------------------------
 
 def _convbn(sd: dict, conv_key: str, bn_key: str):
@@ -221,6 +224,12 @@ def convert_mobilenet_backbone(sd: dict) -> tuple[dict, dict]:
                 put_sub("pw_proj", t + "pw_proj.conv.weight", t + "pw_proj.bn")
                 params[name] = sub_params
                 stats[name] = sub_stats
+    # timm conv_head: 1x1 Conv2d (O,I,1,1) with bias, applied post-pool —
+    # our backbone implements it as a Dense over pooled features.
+    params["conv_head"] = {
+        "kernel": _linear(_t(sd["conv_head.weight"])[:, :, 0, 0]),
+        "bias": _t(sd["conv_head.bias"]),
+    }
     return params, stats
 
 

@@ -126,6 +126,7 @@ class MobileNetV4Backbone(nn.Module):
     width_mult: float = 0.5
     stem_size: int = 32
     trainable_bn: bool = False  # False = reference pinned-eval BN semantics
+    head_hidden_size: int = 1280  # timm conv_head width (NOT width-scaled)
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -134,7 +135,17 @@ class MobileNetV4Backbone(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        """x: (B, H, W, 3) -> (B, H/32, W/32, num_features) pre-pool features.
+        """x: (B, H, W, 3) -> (features, head_embedding).
+
+        features: (B, H/32, W/32, num_features) pre-pool map — what the
+        reference's ChessSquareCNN consumes (forward_features + global_pool,
+        reference models/square.py:86-88).
+
+        head_embedding: (B, head_hidden_size) — timm's classifier embedding
+        (global pool -> 1x1 conv_head with bias -> relu). The square model
+        ignores it (XLA dead-code-eliminates the matmul), but the parameters
+        exist so param count (2,925,183 total ChessSquareCNN ≈ the reference's
+        2.9M, README.md:9-11) and converted timm state_dicts match exactly.
 
         With trainable_bn=False (default), BN always uses running stats —
         the reference's pinned-eval semantics, correct with pretrained
@@ -161,4 +172,8 @@ class MobileNetV4Backbone(nn.Module):
                         dw_start=a, dw_mid=m, stride=s,
                         dtype=self.dtype, name=name,
                     )(x, ura)
-        return x
+        pooled = jnp.mean(x, axis=(1, 2))
+        head = nn.Dense(self.head_hidden_size, use_bias=True,
+                        dtype=self.dtype, name="conv_head")(pooled)
+        head = nn.relu(head)
+        return x, head

@@ -40,7 +40,9 @@ class ChessSquareCNN(nn.Module):
             trainable_bn=not self.pin_backbone_bn, dtype=self.dtype,
             name="backbone",
         )
-        feat = backbone(crops, train=train)            # (B*64, h, w, F)
+        # The conv_head embedding is unused (reference pools pre-head
+        # features, models/square.py:86-88); XLA eliminates its compute.
+        feat, _ = backbone(crops, train=train)         # (B*64, h, w, F)
         features = global_avg_pool_nhwc(feat)          # (B*64, F)
 
         drop = nn.Dropout(self.head_dropout)

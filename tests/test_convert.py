@@ -207,11 +207,10 @@ def test_pos_embed_resample_identity_and_shape():
     np.testing.assert_array_equal(up[:, 0], pos[:, 0])
 
 
-def test_mobilenet_conversion_structural():
-    """Synthesize a timm-style MNv4 state_dict from the arch table and check
-    the converted tree matches the flax model's template exactly."""
-    from chess_vision_tpu.convert.timm_convert import convert_mobilenet_backbone
-    from chess_vision_tpu.models import abstract_variables, build_model
+def _mnv4_050_state_dict() -> dict:
+    """Synthetic timm mobilenetv4_conv_small_050 state_dict: the full key
+    space (efficientnet-builder names incl. num_batches_tracked and the
+    post-pool conv_head) with random values."""
     from chess_vision_tpu.models.mobilenet import (
         _CONV_SMALL_ARCH,
         _round_channels,
@@ -220,20 +219,16 @@ def test_mobilenet_conversion_structural():
     w = 0.5
     sd = {}
 
-    def add_convbn(prefix, in_ch, out_ch, k, dw=False):
-        groups = out_ch if dw else 1
-        sd[prefix + ".conv.weight" if not prefix.endswith("stem") else
-           "conv_stem.weight"] = torch.randn(
-            out_ch, (in_ch if not dw else 1), k, k
-        )
-        bn = "bn1" if prefix.endswith("stem") else prefix + ".bn"
-        sd[bn + ".weight"] = torch.randn(out_ch).abs() + 0.5
-        sd[bn + ".bias"] = torch.randn(out_ch)
-        sd[bn + ".running_mean"] = torch.randn(out_ch)
-        sd[bn + ".running_var"] = torch.randn(out_ch).abs() + 0.5
+    def add_bn(prefix, c):
+        sd[prefix + ".weight"] = torch.randn(c).abs() + 0.5
+        sd[prefix + ".bias"] = torch.randn(c)
+        sd[prefix + ".running_mean"] = torch.randn(c)
+        sd[prefix + ".running_var"] = torch.randn(c).abs() + 0.5
+        sd[prefix + ".num_batches_tracked"] = torch.tensor(0)
 
     ch = _round_channels(32 * w)
-    add_convbn("stem", 3, ch, 3)
+    sd["conv_stem.weight"] = torch.randn(ch, 3, 3, 3)
+    add_bn("bn1", ch)
     for si, stage in enumerate(_CONV_SMALL_ARCH):
         for bi, blk in enumerate(stage):
             t = f"blocks.{si}.{bi}"
@@ -241,12 +236,7 @@ def test_mobilenet_conversion_structural():
                 _, k, s, c = blk
                 out = _round_channels(c * w)
                 sd[t + ".conv.weight"] = torch.randn(out, ch, k, k)
-                for suffix, shape_fn in (
-                    (".bn1.weight", torch.randn), (".bn1.bias", torch.randn),
-                    (".bn1.running_mean", torch.randn),
-                    (".bn1.running_var", lambda n: torch.randn(n).abs() + 0.5),
-                ):
-                    sd[t + suffix] = shape_fn(out)
+                add_bn(t + ".bn1", out)
                 ch = out
             else:
                 _, a, m, s, e, c = blk
@@ -257,12 +247,7 @@ def test_mobilenet_conversion_structural():
                     sd[f"{t}.{sub}.conv.weight"] = torch.randn(
                         o_ch, 1 if dw else i_ch, k, k
                     )
-                    sd[f"{t}.{sub}.bn.weight"] = torch.randn(o_ch).abs() + 0.5
-                    sd[f"{t}.{sub}.bn.bias"] = torch.randn(o_ch)
-                    sd[f"{t}.{sub}.bn.running_mean"] = torch.randn(o_ch)
-                    sd[f"{t}.{sub}.bn.running_var"] = (
-                        torch.randn(o_ch).abs() + 0.5
-                    )
+                    add_bn(f"{t}.{sub}.bn", o_ch)
 
                 if a:
                     add("dw_start", ch, ch, a, dw=True)
@@ -271,7 +256,25 @@ def test_mobilenet_conversion_structural():
                     add("dw_mid", mid, mid, m, dw=True)
                 add("pw_proj", mid, out, 1)
                 ch = out
+    sd["conv_head.weight"] = torch.randn(1280, ch, 1, 1)
+    sd["conv_head.bias"] = torch.randn(1280)
+    return sd
 
+
+def _paths(tree):
+    return {
+        "/".join(str(k.key) for k in path): tuple(leaf.shape)
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]
+    }
+
+
+def test_mobilenet_conversion_structural():
+    """Synthesize a timm-style MNv4 state_dict from the arch table and check
+    the converted tree matches the flax model's template exactly."""
+    from chess_vision_tpu.convert.timm_convert import convert_mobilenet_backbone
+    from chess_vision_tpu.models import abstract_variables, build_model
+
+    sd = _mnv4_050_state_dict()
     params, stats = convert_mobilenet_backbone(sd)
 
     # wrap into a square-model-shaped check for the backbone subtree
@@ -281,17 +284,137 @@ def test_mobilenet_conversion_structural():
     model = build_model(cfg)
     template = abstract_variables(model, 64)
 
-    def paths(tree):
-        return {
-            "/".join(str(k.key) for k in path): tuple(leaf.shape)
-            for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]
-        }
-
-    want = paths(template["params"]["backbone"])
-    got = paths(params)
+    want = _paths(template["params"]["backbone"])
+    got = _paths(params)
     assert want == got, (
         f"missing={sorted(set(want)-set(got))[:6]} "
         f"extra={sorted(set(got)-set(want))[:6]} "
         f"mismatch={[(k, want[k], got[k]) for k in sorted(set(want) & set(got)) if want[k] != got[k]][:6]}"
     )
-    assert paths(template["batch_stats"]["backbone"]) == paths(stats)
+    assert _paths(template["batch_stats"]["backbone"]) == _paths(stats)
+
+
+# --- Full-size synthetic reference checkpoints ------------------------------
+# No timm weights or reference checkpoints exist offline; these tests build
+# state_dicts with the exact reference key space at FULL model size (ViT-B/16
+# with 224-grid pos-embed needing resample to 256, ConvNeXtV2-Tiny,
+# MobileNetV4-small-050 incl. conv_head) and prove the converter consumes
+# them without KeyErrors and lands exactly on each flax model's init tree.
+
+
+def _full_vit_backbone_sd(img=224, dim=768, depth=12, patch=16) -> dict:
+    g = img // patch
+    sd = {
+        "patch_embed.proj.weight": torch.randn(dim, 3, patch, patch),
+        "patch_embed.proj.bias": torch.randn(dim),
+        "cls_token": torch.randn(1, 1, dim),
+        "pos_embed": torch.randn(1, 1 + g * g, dim),
+        "norm.weight": torch.randn(dim),
+        "norm.bias": torch.randn(dim),
+    }
+    for i in range(depth):
+        b = f"blocks.{i}."
+        for ln in ("norm1", "norm2"):
+            sd[b + ln + ".weight"] = torch.randn(dim)
+            sd[b + ln + ".bias"] = torch.randn(dim)
+        sd[b + "attn.qkv.weight"] = torch.randn(3 * dim, dim)
+        sd[b + "attn.qkv.bias"] = torch.randn(3 * dim)
+        sd[b + "attn.proj.weight"] = torch.randn(dim, dim)
+        sd[b + "attn.proj.bias"] = torch.randn(dim)
+        sd[b + "mlp.fc1.weight"] = torch.randn(4 * dim, dim)
+        sd[b + "mlp.fc1.bias"] = torch.randn(4 * dim)
+        sd[b + "mlp.fc2.weight"] = torch.randn(dim, 4 * dim)
+        sd[b + "mlp.fc2.bias"] = torch.randn(dim)
+    return sd
+
+
+def _seq_linear(sd, name, out_f, in_f, conv=False, bare=False):
+    """Reference head: nn.Sequential(Dropout, Linear/Conv1x1) at index 1,
+    or a bare Linear (square model's turn/castling)."""
+    key = name if bare else name + ".1"
+    w = torch.randn(out_f, in_f, 1, 1) if conv else torch.randn(out_f, in_f)
+    sd[key + ".weight"] = w
+    sd[key + ".bias"] = torch.randn(out_f)
+
+
+def _with_buffers(sd):
+    sd["class_to_type"] = torch.tensor([0, 1, 2, 3, 4, 5, 6] * 2)[:13]
+    sd["class_to_color"] = torch.tensor([0] + [1] * 6 + [2] * 6)
+    return sd
+
+
+def _reference_ckpt_roundtrip(sd, cfg):
+    from chess_vision_tpu.convert.timm_convert import (
+        _verify_against_model,
+        convert_reference_model,
+    )
+
+    params, batch_stats = convert_reference_model(sd, cfg)
+    _verify_against_model(params, batch_stats, cfg)  # raises on any mismatch
+
+
+def test_full_size_reference_vit_roundtrip():
+    """86M-param ViT-B/16 reference checkpoint key space, trained pos-embed
+    at 224 (14x14) resampled to the 256-input 16x16 grid."""
+    torch.manual_seed(0)
+    sd = {"backbone." + k: v for k, v in _full_vit_backbone_sd(img=224).items()}
+    d = 768
+    for name, out in (("type_head", 7), ("color_head", 3),
+                      ("turn_head", 1), ("castling_head", 4)):
+        _seq_linear(sd, name, out, d)
+    _with_buffers(sd)
+    cfg = {"model": {"arch": "vit", "input_size": 256},
+           "training": {"mixed_precision": False}}
+    _reference_ckpt_roundtrip(sd, cfg)
+
+
+def test_full_size_reference_cnn_roundtrip():
+    """28M-param ConvNeXtV2-Tiny reference checkpoint key space (1x1 conv
+    type/color heads, linear turn/castling heads)."""
+    torch.manual_seed(0)
+    backbone = TorchConvNeXtV2(depths=(3, 3, 9, 3), dims=(96, 192, 384, 768))
+    sd = {"backbone." + k: v for k, v in backbone.state_dict().items()}
+    _seq_linear(sd, "type_head", 7, 768, conv=True)
+    _seq_linear(sd, "color_head", 3, 768, conv=True)
+    _seq_linear(sd, "turn_head", 1, 768)
+    _seq_linear(sd, "castling_head", 4, 768)
+    _with_buffers(sd)
+    cfg = {"model": {"arch": "cnn", "input_size": 256},
+           "training": {"mixed_precision": False}}
+    _reference_ckpt_roundtrip(sd, cfg)
+
+
+def test_full_size_reference_square_roundtrip():
+    """2.9M-param ChessSquareCNN reference checkpoint key space: full
+    MobileNetV4-small-050 backbone (conv_head included as in timm
+    num_classes=0 state_dicts) + global_head MLP + bare turn/castling."""
+    torch.manual_seed(0)
+    sd = {"backbone." + k: v for k, v in _mnv4_050_state_dict().items()}
+    feat = 480
+    _seq_linear(sd, "type_head", 7, feat)
+    _seq_linear(sd, "color_head", 3, feat)
+    _seq_linear(sd, "global_head", 64, 64 * feat)  # Sequential index 1
+    _seq_linear(sd, "turn_head", 1, 64, bare=True)
+    _seq_linear(sd, "castling_head", 4, 64, bare=True)
+    _with_buffers(sd)
+    cfg = {"model": {"arch": "square", "input_size": 256,
+                     "square_input_size": 64},
+           "training": {"mixed_precision": False}}
+    _reference_ckpt_roundtrip(sd, cfg)
+
+
+def test_square_param_count_matches_reference():
+    """Reference README.md:9-11 publishes ~2.9M params for the square model;
+    the exact layout lands on 2,925,183 (timm MNv4-small-050 with unscaled
+    1280 conv_head + heads over 480-dim pooled features)."""
+    from chess_vision_tpu.models import (
+        abstract_variables,
+        build_model,
+        param_count,
+    )
+
+    cfg = {"model": {"arch": "square", "input_size": 256,
+                     "square_input_size": 64},
+           "training": {"mixed_precision": False}}
+    v = abstract_variables(build_model(cfg), 256)
+    assert param_count(v["params"]) == 2_925_183
