@@ -28,7 +28,13 @@ from concurrent.futures import ProcessPoolExecutor
 import numpy as np
 
 from chess_vision_tpu.datagen.positions import Position, sample_positions
-from chess_vision_tpu.datagen.render import BoardStyle, random_style, render_board, save_board
+from chess_vision_tpu.datagen.render import (
+    BoardStyle,
+    random_style,
+    render_board,
+    save_board,
+    set_assets_dir,
+)
 from chess_vision_tpu.fen import flip_fen
 
 MANIFEST_HEADER = [
@@ -38,7 +44,8 @@ MANIFEST_HEADER = [
 
 
 def _render_chunk(args) -> list[list]:
-    out_dir, size, fmt, items = args
+    out_dir, size, fmt, assets_dir, items = args
+    set_assets_dir(assets_dir)  # no-op when inherited via fork
     rows = []
     for index, pos_fields, style_fields, render_seed in items:
         pos = Position(*pos_fields)
@@ -72,8 +79,12 @@ def generate_split(
     flip_pct: float = 0.3,
     texture_pct: float = 0.5,
     workers: int | None = None,
+    assets_dir: str | None = None,
 ) -> int:
     """Generate one split. sources = [("random", n), ("game", m), ...]."""
+    # Discover image piece sets / board textures BEFORE pre-assignment so
+    # the style pool is fixed in the main process (determinism discipline).
+    set_assets_dir(assets_dir)
     rng = np.random.default_rng(seed)
 
     positions: list[Position] = []
@@ -105,7 +116,7 @@ def generate_split(
     workers = workers or os.cpu_count() or 4
     n_chunks = min(workers * 4, max(1, len(assignments)))
     chunks = [assignments[i::n_chunks] for i in range(n_chunks)]
-    tasks = [(out_dir, size, fmt, chunk) for chunk in chunks if chunk]
+    tasks = [(out_dir, size, fmt, assets_dir, chunk) for chunk in chunks if chunk]
 
     rows: list[list] = []
     if workers > 1 and len(assignments) > 64:
@@ -136,6 +147,10 @@ def run_from_config(path: str) -> None:
     highlight_pct = rendering.get("highlight_pct", 0.6)
     flip_pct = rendering.get("flip_pct", 0.3)
     texture_pct = rendering.get("texture_pct", 0.5)
+    assets_dir = rendering.get("assets_dir")
+    if assets_dir and not os.path.isabs(assets_dir):
+        assets_dir = os.path.join(os.path.dirname(os.path.abspath(path)),
+                                  assets_dir)
 
     for name, split in cfg["splits"].items():
         sources = []
@@ -147,7 +162,7 @@ def run_from_config(path: str) -> None:
         n = generate_split(
             out_dir, sources, size=size, seed=seed, fmt=fmt,
             highlight_pct=highlight_pct, flip_pct=flip_pct,
-            texture_pct=texture_pct,
+            texture_pct=texture_pct, assets_dir=assets_dir,
         )
         print(f"split {name}: {n} images -> {out_dir}")
 
@@ -163,6 +178,9 @@ def main():
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--format", default="jpeg", choices=["jpeg", "png"])
     parser.add_argument("--workers", type=int, default=None)
+    parser.add_argument("--assets-dir", default=None,
+                        help="Directory with pieces/<style>/ image sets and "
+                             "boards/ textures (auto-discovered)")
     args = parser.parse_args()
 
     if args.config:
@@ -178,7 +196,7 @@ def main():
         sources = [(args.source, args.count)]
     n = generate_split(
         args.out, sources, size=args.size, seed=args.seed, fmt=args.format,
-        workers=args.workers,
+        workers=args.workers, assets_dir=args.assets_dir,
     )
     print(f"{n} images -> {args.out}")
 

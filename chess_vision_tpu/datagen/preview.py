@@ -16,11 +16,13 @@ from PIL import Image, ImageDraw
 
 from chess_vision_tpu.datagen.render import (
     _FIXED_PALETTES,
-    PIECE_STYLE_NAMES,
     TEXTURE_KINDS,
     BoardStyle,
     _random_palette,
+    available_piece_styles,
+    available_textures,
     render_board,
+    set_assets_dir,
 )
 
 _DEMO = "rnbqkbnr/pppppppp/8/8/3P4/8/PPP1PPPP/RNBQKBNR"
@@ -40,7 +42,7 @@ def _grid(images_labels, cols, cell=200, pad=26):
 
 def preview_styles(out_path: str):
     items = []
-    for name in PIECE_STYLE_NAMES:
+    for name in available_piece_styles():  # fonts + discovered image sets
         style = BoardStyle(piece_style=name)
         items.append((render_board(_DEMO, style, 256), name))
     _grid(items, cols=4).save(out_path)
@@ -65,13 +67,19 @@ def preview_textures(out_path: str, per_kind: int = 4):
         for i in range(per_kind):
             style = BoardStyle(texture=(kind, 1000 + i))
             items.append((render_board(_DEMO, style, 256), f"{kind} {i}"))
+    for fname in available_textures():
+        style = BoardStyle(texture=("img", fname))
+        items.append((render_board(_DEMO, style, 256), fname))
     _grid(items, cols=4).save(out_path)
 
 
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--out", default="previews")
+    parser.add_argument("--assets-dir", default="assets",
+                        help="image asset root (missing dir = fonts only)")
     args = parser.parse_args()
+    set_assets_dir(args.assets_dir)
     os.makedirs(args.out, exist_ok=True)
     preview_styles(os.path.join(args.out, "style_preview.png"))
     preview_palettes(os.path.join(args.out, "palette_preview.png"))

@@ -2,10 +2,13 @@
 
 Python replacement for the reference's Node/@napi-rs/canvas renderer
 (datagen/render.js): board = colored squares (fixed classic palettes or
-random cohesive palettes), pieces = font glyphs in one of many named styles
-(font x fill/stroke scheme), optional last-move-style highlight overlay,
-optional flipped orientation (labels corrected by the caller via flip_fen,
-mirroring reference render-worker.js:14-24), JPEG q90 output.
+random cohesive palettes), pieces = image-based sets auto-discovered from an
+assets directory (reference render.js:17-23) with font-glyph styles as the
+always-available fallback, board backgrounds = image textures from
+assets/boards (render.js:26-30) or procedural fields, optional
+last-move-style highlight overlay, optional flipped orientation (labels
+corrected by the caller via flip_fen, mirroring render-worker.js:14-24),
+JPEG q90 output.
 
 All randomness is taken from an explicit numpy Generator so the caller can
 pre-assign styles deterministically before fanning out to workers
@@ -61,6 +64,90 @@ PIECE_STYLE_NAMES = [
 
 
 TEXTURE_KINDS = ("wood", "marble", "noise")
+
+
+# --- Image assets (reference render.js:17-30 auto-discovery parity) --------
+#
+# assets/pieces/<style>/ : a piece set = any directory whose image files
+#   cover all 12 pieces. Accepted basenames (case-insensitive): "wK"/"bP"
+#   (our download_assets naming) or "WhiteKing"/"BlackPawn" (the reference's
+#   chess-fen2img naming). Styles are exposed as "img:<dirname>".
+# assets/boards/ : any jpg/jpeg/png file is a board texture, exposed in
+#   BoardStyle.texture as ("img", filename).
+
+_PIECE_CODES = ["wK", "wQ", "wR", "wB", "wN", "wP",
+                "bK", "bQ", "bR", "bB", "bN", "bP"]
+_LONG_NAMES = {"king": "K", "queen": "Q", "rook": "R", "bishop": "B",
+               "knight": "N", "pawn": "P"}
+_IMG_EXTS = (".png", ".jpg", ".jpeg")
+
+
+def _piece_code_from_stem(stem: str) -> str | None:
+    s = stem.lower()
+    if len(s) == 2 and s[0] in "wb" and s[1] in "kqrbnp":
+        return s[0] + s[1].upper()
+    for color in ("white", "black"):
+        if s.startswith(color) and s[len(color):] in _LONG_NAMES:
+            return color[0] + _LONG_NAMES[s[len(color):]]
+    return None
+
+
+def discover_assets(assets_dir: str) -> tuple[dict, list]:
+    """Scan an assets directory. Returns (piece_sets, textures):
+    piece_sets: {style_name: {piece_code: abs_path}} (only complete sets),
+    textures: sorted list of absolute texture file paths."""
+    piece_sets: dict = {}
+    piece_root = os.path.join(assets_dir, "pieces")
+    if os.path.isdir(piece_root):
+        for d in sorted(os.listdir(piece_root)):
+            set_dir = os.path.join(piece_root, d)
+            if not os.path.isdir(set_dir):
+                continue
+            found: dict = {}
+            for f in os.listdir(set_dir):
+                stem, ext = os.path.splitext(f)
+                if ext.lower() not in _IMG_EXTS:
+                    continue
+                code = _piece_code_from_stem(stem)
+                if code:
+                    found[code] = os.path.join(set_dir, f)
+            if all(c in found for c in _PIECE_CODES):
+                piece_sets[d] = found
+    board_root = os.path.join(assets_dir, "boards")
+    textures = []
+    if os.path.isdir(board_root):
+        textures = sorted(
+            os.path.join(board_root, f)
+            for f in os.listdir(board_root)
+            if os.path.splitext(f)[1].lower() in _IMG_EXTS
+        )
+    return piece_sets, textures
+
+
+_ASSETS: dict = {"dir": None, "piece_sets": {}, "textures": []}
+
+
+def set_assets_dir(assets_dir: str | None) -> None:
+    """Point the renderer at an assets directory (idempotent; None clears).
+    Called by the generator in the main process (so style pre-assignment
+    sees the discovered pools) and again in each render worker."""
+    if assets_dir == _ASSETS["dir"]:
+        return
+    _ASSETS["dir"] = assets_dir
+    _ASSETS["piece_sets"], _ASSETS["textures"] = (
+        discover_assets(assets_dir) if assets_dir else ({}, [])
+    )
+    _piece_img_cache.clear()
+    _texture_img_cache.clear()
+
+
+def available_piece_styles() -> list[str]:
+    """Font styles + discovered image sets (the reference's PIECE_STYLES)."""
+    return PIECE_STYLE_NAMES + [f"img:{n}" for n in sorted(_ASSETS["piece_sets"])]
+
+
+def available_textures() -> list[str]:
+    return [os.path.basename(p) for p in _ASSETS["textures"]]
 
 
 @dataclass
@@ -124,7 +211,8 @@ def random_style(
     texture_pct: float = 0.5,
     last_move: tuple | None = None,
 ) -> BoardStyle:
-    piece_style = PIECE_STYLE_NAMES[int(rng.integers(0, len(PIECE_STYLE_NAMES)))]
+    styles = available_piece_styles()
+    piece_style = styles[int(rng.integers(0, len(styles)))]
     if rng.random() < 0.5:
         light, dark = _FIXED_PALETTES[int(rng.integers(0, len(_FIXED_PALETTES)))]
     else:
@@ -136,10 +224,19 @@ def random_style(
     if last_move is not None and rng.random() < highlight_pct:
         highlight = (int(last_move[0]), int(last_move[1]),
                      int(rng.integers(0, len(_HIGHLIGHT_COLORS))))
+    # Image textures take precedence when discovered (the reference only
+    # falls back to flat colors when boards/ is empty, render.js:135-142);
+    # procedural textures remain the offline fallback.
     texture = None
     if rng.random() < texture_pct:
-        kind = TEXTURE_KINDS[int(rng.integers(0, len(TEXTURE_KINDS)))]
-        texture = (kind, int(rng.integers(0, 2**31 - 1)))
+        files = _ASSETS["textures"]
+        if files:
+            texture = ("img", os.path.basename(
+                files[int(rng.integers(0, len(files)))]
+            ))
+        else:
+            kind = TEXTURE_KINDS[int(rng.integers(0, len(TEXTURE_KINDS)))]
+            texture = (kind, int(rng.integers(0, 2**31 - 1)))
     return BoardStyle(
         piece_style=piece_style,
         light=light,
@@ -153,6 +250,8 @@ def random_style(
 
 
 _font_cache: dict = {}
+_piece_img_cache: dict = {}
+_texture_img_cache: dict = {}
 
 
 def _get_font(path: str, px: int):
@@ -160,6 +259,36 @@ def _get_font(path: str, px: int):
     if key not in _font_cache:
         _font_cache[key] = ImageFont.truetype(path, px)
     return _font_cache[key]
+
+
+def _get_piece_image(style_name: str, code: str, px: int) -> Image.Image:
+    key = (style_name, code, px)
+    if key not in _piece_img_cache:
+        sets = _ASSETS["piece_sets"]
+        if style_name not in sets:
+            raise FileNotFoundError(
+                f"piece set {style_name!r} not found under "
+                f"{_ASSETS['dir']!r} (call set_assets_dir first)"
+            )
+        img = Image.open(sets[style_name][code]).convert("RGBA")
+        _piece_img_cache[key] = img.resize((px, px), Image.LANCZOS)
+    return _piece_img_cache[key]
+
+
+def _get_texture_image(filename: str, size: int) -> Image.Image:
+    key = (filename, size)
+    if key not in _texture_img_cache:
+        path = next(
+            (p for p in _ASSETS["textures"]
+             if os.path.basename(p) == filename), None
+        )
+        if path is None:
+            raise FileNotFoundError(
+                f"board texture {filename!r} not found under {_ASSETS['dir']!r}"
+            )
+        img = Image.open(path).convert("RGB")
+        _texture_img_cache[key] = img.resize((size, size), Image.BILINEAR)
+    return _texture_img_cache[key]
 
 
 def render_board(
@@ -176,9 +305,12 @@ def render_board(
     draw = ImageDraw.Draw(img, "RGBA")
 
     if style.texture is not None:
-        kind, tex_seed = style.texture
-        tex = _make_texture(kind, tex_seed, size)
-        img.paste(Image.fromarray((tex * 255).astype(np.uint8)))
+        kind, tex_arg = style.texture
+        if kind == "img":
+            img.paste(_get_texture_image(tex_arg, size))
+        else:
+            tex = _make_texture(kind, int(tex_arg), size)
+            img.paste(Image.fromarray((tex * 255).astype(np.uint8)))
         square_alpha = 190  # squares tint the texture instead of covering it
     else:
         square_alpha = 255
@@ -202,9 +334,15 @@ def render_board(
                 fill=_HIGHLIGHT_COLORS[color_idx],
             )
 
-    font_name, scheme = style.piece_style.rsplit("_", 1)
-    font_px = max(8, int(sq_px * style.scale / 0.75))
-    font = _get_font(_FONTS[font_name], font_px)
+    image_set = None
+    if style.piece_style.startswith("img:"):
+        image_set = style.piece_style[4:]
+        # piece sprites are drawn near square size; scale jitters +-8%
+        piece_px = max(8, min(int(sq_px), int(sq_px * style.scale / 0.78)))
+    else:
+        font_name, scheme = style.piece_style.rsplit("_", 1)
+        font_px = max(8, int(sq_px * style.scale / 0.75))
+        font = _get_font(_FONTS[font_name], font_px)
     stroke = max(1, round(size / 256))
 
     labels = fen_to_labels(placement_fen)
@@ -222,6 +360,16 @@ def render_board(
             piece = INDEX_TO_PIECE[cls]
             is_white = piece.isupper()
             kind = piece.upper()
+
+            if image_set is not None:
+                jx = (rng.random() - 0.5) * 2 * style.jitter * sq_px
+                jy = (rng.random() - 0.5) * 2 * style.jitter * sq_px
+                code = ("w" if is_white else "b") + kind
+                sprite = _get_piece_image(image_set, code, piece_px)
+                x0 = int((c + 0.5) * sq_px - piece_px / 2 + jx)
+                y0 = int((r + 0.5) * sq_px - piece_px / 2 + jy)
+                img.paste(sprite, (x0, y0), sprite)
+                continue
 
             if scheme == "outline":
                 # white = hollow line-art glyph drawn dark; black = solid dark

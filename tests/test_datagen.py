@@ -125,3 +125,99 @@ def test_textured_render_differs_and_is_deterministic():
     c = np.asarray(render_board("8/8/8/8/8/8/8/8", style_t, 128))
     assert not np.array_equal(a, b)       # texture changes pixels
     np.testing.assert_array_equal(a, c)   # deterministic per seed
+
+
+def _make_fake_assets(root):
+    """12-PNG piece set ('testset', both naming conventions) + one texture."""
+    from PIL import Image, ImageDraw
+
+    set_dir = root / "pieces" / "testset"
+    set_dir.mkdir(parents=True)
+    names = {"K": "King", "Q": "Queen", "R": "Rook", "B": "Bishop",
+             "N": "Knight", "P": "Pawn"}
+    for i, code in enumerate("KQRBNP"):
+        # white: short naming; black: reference WhiteKing-style naming —
+        # discovery must accept both
+        img = Image.new("RGBA", (32, 32), (0, 0, 0, 0))
+        ImageDraw.Draw(img).ellipse([4, 4, 28, 28], fill=(250, 250, 250, 255))
+        img.save(set_dir / f"w{code}.png")
+        img2 = Image.new("RGBA", (32, 32), (0, 0, 0, 0))
+        ImageDraw.Draw(img2).ellipse([4, 4, 28, 28], fill=(20, 20, 20, 255))
+        img2.save(set_dir / f"Black{names[code]}.png")
+    # an INCOMPLETE set must not be discovered
+    bad = root / "pieces" / "incomplete"
+    bad.mkdir(parents=True)
+    img.save(bad / "wK.png")
+    boards = root / "boards"
+    boards.mkdir()
+    Image.new("RGB", (64, 64), (90, 60, 30)).save(boards / "woodtest.jpg")
+
+
+def test_image_asset_discovery_and_render(tmp_path):
+    from chess_vision_tpu.datagen.render import (
+        available_piece_styles,
+        available_textures,
+        discover_assets,
+        set_assets_dir,
+    )
+
+    _make_fake_assets(tmp_path)
+    sets, textures = discover_assets(str(tmp_path))
+    assert list(sets) == ["testset"] and len(sets["testset"]) == 12
+    assert [os.path.basename(t) for t in textures] == ["woodtest.jpg"]
+
+    set_assets_dir(str(tmp_path))
+    try:
+        assert "img:testset" in available_piece_styles()
+        assert available_textures() == ["woodtest.jpg"]
+
+        style = BoardStyle(piece_style="img:testset",
+                           texture=("img", "woodtest.jpg"), jitter=0.0)
+        a = np.asarray(render_board(
+            "rnbqkbnr/pppppppp/8/8/8/8/PPPPPPPP/RNBQKBNR", style, 128))
+        empty = np.asarray(render_board("8/8/8/8/8/8/8/8", style, 128))
+        assert not np.array_equal(a, empty)  # sprites actually drawn
+    finally:
+        set_assets_dir(None)
+
+
+def test_generate_split_with_assets(tmp_path):
+    from chess_vision_tpu.datagen.render import set_assets_dir
+
+    _make_fake_assets(tmp_path)
+    out = str(tmp_path / "out")
+    try:
+        generate_split(out, [("random", 30)], size=64, seed=5, workers=1,
+                       texture_pct=1.0, assets_dir=str(tmp_path))
+    finally:
+        set_assets_dir(None)
+    with open(os.path.join(out, "manifest.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 30
+    # with the image set in the pool (1 of 13 styles) and texture_pct=1
+    # (image textures take precedence), both asset kinds must appear
+    assert any(r["style"] == "img:testset" for r in rows)
+    imgs = [r["filename"] for r in rows]
+    assert all(os.path.exists(os.path.join(out, f)) for f in imgs)
+
+
+def test_synth_piece_sets_discoverable(tmp_path):
+    from chess_vision_tpu.datagen.render import discover_assets, set_assets_dir
+    from chess_vision_tpu.datagen.synth_pieces import SYNTH_STYLES, synthesize
+
+    n = synthesize(str(tmp_path / "pieces"), styles=["synth_flat",
+                                                     "synth_pixel"])
+    assert n == 2
+    sets, _ = discover_assets(str(tmp_path))
+    assert sorted(sets) == ["synth_flat", "synth_pixel"]
+    assert all(len(s) == 12 for s in sets.values())
+    set_assets_dir(str(tmp_path))
+    try:
+        style = BoardStyle(piece_style="img:synth_pixel", jitter=0.0)
+        a = np.asarray(render_board(
+            "rnbqkbnr/pppppppp/8/8/8/8/PPPPPPPP/RNBQKBNR", style, 128))
+        b = np.asarray(render_board("8/8/8/8/8/8/8/8", style, 128))
+        assert not np.array_equal(a, b)
+    finally:
+        set_assets_dir(None)
+    assert len(SYNTH_STYLES) >= 14  # font 12 + synth 14 = 26-style pool
