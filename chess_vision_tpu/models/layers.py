@@ -60,8 +60,10 @@ class Attention(nn.Module):
     """Multi-head self-attention with a fused QKV projection.
 
     The fused qkv layout matches timm's ViT so converted checkpoints map
-    one-to-one. Uses jax.nn.dot_product_attention, which XLA lowers to a fused
-    TPU attention kernel.
+    one-to-one. Attention itself runs through the fused single-tile Pallas
+    kernel (ops/attention.py) on TPU — XLA's lowering materializes the full
+    f32 score tensor in HBM on this backend — with plain-XLA math on CPU and
+    for the backward pass.
     """
 
     num_heads: int
@@ -70,14 +72,12 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        from chess_vision_tpu.ops.attention import fused_qkv_attention
+
         B, N, D = x.shape
-        head_dim = D // self.num_heads
         qkv = nn.Dense(3 * D, dtype=self.dtype,
                        kernel_init=trunc_normal_init, name="qkv")(x)
-        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        out = jax.nn.dot_product_attention(q, k, v)
-        out = out.reshape(B, N, D)
+        out = fused_qkv_attention(qkv, self.num_heads)
         out = nn.Dense(D, dtype=self.dtype,
                        kernel_init=trunc_normal_init, name="proj")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)

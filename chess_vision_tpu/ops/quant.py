@@ -1,16 +1,26 @@
 """Int8 (W8A8 dynamic) quantized inference for the ChessViT serving path.
 
-The v5e MXU delivers 2x its bf16 throughput on int8 x int8 -> int32 matmuls,
-and ViT-B inference at the 5k boards/sec/chip target exceeds the chip's bf16
-peak — so the serving fast path quantizes the four large matmuls per block
-(qkv, proj, fc1, fc2 — >95% of the FLOPs):
+The v5e MXU runs int8 x int8 -> int32 matmuls at 2.3-3x its bf16 rate at
+ViT-B serving shapes (measured: qkv 281 / fc1 374 TOPS vs 114-126 TFLOP/s
+bf16), and ViT-B inference at the 5k boards/sec/chip target exceeds the
+chip's bf16 peak — so the serving fast path quantizes the four large matmuls
+per block (qkv, proj, fc1, fc2 — >95% of the FLOPs):
 
   - weights: per-output-channel symmetric int8, quantized once at load
   - activations: per-token dynamic symmetric int8 (abs-max over features)
   - accumulation in int32, rescale by (s_x * s_w) in f32
 
-Attention itself, LayerNorms, the patch embed, and all heads stay bf16/f32 —
-they are a few percent of the compute and the accuracy-sensitive parts.
+Dynamic activation quant is HBM-bound, not FLOP-bound: done with plain XLA
+ops it re-reads every activation tensor for the abs-max reduction and again
+for the rounding pass, which measured as ~70% of the int8 path's runtime. On
+TPU the LayerNorm (or GELU) + abs-max + quantize chain therefore runs as ONE
+Pallas pass per tensor (`fused_rowquant`): read bf16 once, write int8 + a
+per-token scale. The int32->f32 rescale rides XLA's matmul epilogue fusion.
+
+Attention runs through the fused Pallas kernel (ops/attention.py) directly
+on the packed qkv output. The residual stream stays bf16. Patch embed and
+heads stay bf16/f32 — they are a few percent of the compute and the
+accuracy-sensitive parts.
 
 `quantize_chessvit` converts a trained ChessViT param tree into a quant pack;
 `chessvit_int8_apply` is the functional forward (same outputs contract as
@@ -19,9 +29,14 @@ ChessViT.__call__).
 
 from __future__ import annotations
 
+import functools
+import math
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from chess_vision_tpu.fen import NUM_PIECE_COLORS, NUM_PIECE_TYPES  # noqa: F401
 from chess_vision_tpu.models.common import combine_type_color
@@ -93,20 +108,144 @@ def _layernorm(x, p, eps=1e-6):
     return (xf - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
 
 
-def _block(x, q, num_heads=12):
+# ---------------------------------------------------------------------------
+# Fused pre-op + dynamic row quantization (one HBM pass per tensor)
+# ---------------------------------------------------------------------------
+
+def _erf(x):
+    """Abramowitz-Stegun 7.1.26 rational erf (max abs err 1.5e-7): the
+    Pallas TPU lowering has no erf primitive; this uses only exp."""
+    a = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (a[0] + t * (a[1] + t * (a[2] + t * (a[3] + t * a[4]))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _rowquant_kernel(x_ref, g_ref, b_ref, xq_ref, s_ref, *, mode, eps):
+    x = x_ref[...].astype(jnp.float32)                  # (bb, N, D)
+    D = x.shape[-1]
+    if mode == "ln":
+        # one-pass statistics: var = E[x^2] - mu^2
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x), axis=-1, keepdims=True) - jnp.square(mu)
+        x = (x - mu) * jax.lax.rsqrt(var + eps) * g_ref[0] + b_ref[0]
+    elif mode == "gelu":
+        x = 0.5 * x * (1.0 + _erf(x * (1.0 / math.sqrt(2.0))))
+    amax = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), 1e-8)
+    xq_ref[...] = jnp.clip(
+        jnp.round(x * (127.0 / amax)), -127, 127
+    ).astype(jnp.int8)
+    s_ref[...] = amax * (1.0 / 127.0)
+
+
+def fused_rowquant(x, mode: str = "none", ln_scale=None, ln_bias=None,
+                   eps: float = 1e-6, interpret: bool = False):
+    """(B, N, D) bf16/f32 -> (int8 (B, N, D), f32 scales (B, N, 1)).
+
+    mode: "none" (plain abs-max quant), "ln" (LayerNorm first, params
+    required), "gelu" (exact erf GELU first). Several images per grid cell
+    (amortizing per-cell overhead); each cell holds its whole (bb, N, D) row
+    block in VMEM so the pre-op, both reductions (LN stats + abs-max), and
+    the rounding happen in a single HBM read.
+    """
     B, N, D = x.shape
+    # block several images per cell (amortize per-cell overhead) within a
+    # ~40MB VMEM budget (v5e has 128MB; ~7 bytes/elem incl. f32 temps and
+    # double-buffered in/out)
+    bb = next(b for b in (8, 4, 2, 1)
+              if B % b == 0 and b * N * D * 7 <= 40 * 2**20)
+    if ln_scale is None:
+        ln_scale = jnp.zeros((1, D), jnp.float32)
+        ln_bias = jnp.zeros((1, D), jnp.float32)
+    else:
+        ln_scale = jnp.asarray(ln_scale, jnp.float32).reshape(1, D)
+        ln_bias = jnp.asarray(ln_bias, jnp.float32).reshape(1, D)
+    xq, s = pl.pallas_call(
+        functools.partial(_rowquant_kernel, mode=mode, eps=eps),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, D), jnp.int8),
+            # trailing singleton keeps the block shape TPU-tileable
+            jax.ShapeDtypeStruct((B, N, 1), jnp.float32),
+        ),
+        grid=(B // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, N, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bb, N, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, N, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 2**20,
+        ),
+        interpret=interpret,
+    )(x, ln_scale, ln_bias)
+    return xq, s
+
+
+def quant_dense_q(xq, x_scale, wq, w_scale, bias, out_dtype=jnp.bfloat16):
+    """Pre-quantized activations: int8 matmul + f32 epilogue rescale.
+
+    xq: (B, N, K) int8; x_scale: (B, N, 1) f32; wq: (K, O) int8;
+    w_scale: (O,) f32; bias: (O,). The rescale + bias + downcast all fuse
+    into the matmul epilogue, so the output is written once at out_dtype.
+    """
+    acc = jax.lax.dot_general(
+        xq, wq,
+        dimension_numbers=(((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * x_scale * w_scale + bias).astype(out_dtype)
+
+
+def _block(x, q, num_heads=12):
+    """x: (B, N, D) bf16 residual stream.
+
+    TPU path: every activation tensor is read exactly once — LN/GELU +
+    abs-max + int8 quantize fuse into one Pallas pass (fused_rowquant), the
+    int8 matmul rescale rides the XLA epilogue, and attention runs through
+    the fused kernel on the PACKED qkv output (no reshape copy, no HBM score
+    tensor). Elsewhere (CPU tests) the identical math runs as plain XLA ops.
+    """
+    from chess_vision_tpu.ops.attention import fused_qkv_attention
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        xq, xs = fused_rowquant(x, "ln", q["norm1"]["scale"],
+                                q["norm1"]["bias"])
+        qkv = quant_dense_q(xq, xs, q["qkv"]["wq"], q["qkv"]["scale"],
+                            q["qkv"]["bias"])
+        att = fused_qkv_attention(qkv, num_heads)
+        aq, as_ = fused_rowquant(att, "none")
+        x = x + quant_dense_q(aq, as_, q["proj"]["wq"], q["proj"]["scale"],
+                              q["proj"]["bias"])
+        hq, hs = fused_rowquant(x, "ln", q["norm2"]["scale"],
+                                q["norm2"]["bias"])
+        h = quant_dense_q(hq, hs, q["fc1"]["wq"], q["fc1"]["scale"],
+                          q["fc1"]["bias"])
+        gq, gs = fused_rowquant(h, "gelu")
+        x = x + quant_dense_q(gq, gs, q["fc2"]["wq"], q["fc2"]["scale"],
+                              q["fc2"]["bias"])
+        return x
+
     h = _layernorm(x, q["norm1"])
     qkv = quant_dense(h, q["qkv"]["wq"], q["qkv"]["scale"], q["qkv"]["bias"])
-    qkv = qkv.astype(jnp.bfloat16).reshape(B, N, 3, num_heads, D // num_heads)
-    att = jax.nn.dot_product_attention(
-        qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-    ).reshape(B, N, D)
+    att = fused_qkv_attention(qkv.astype(jnp.bfloat16), num_heads)
     x = x + quant_dense(att, q["proj"]["wq"], q["proj"]["scale"],
-                        q["proj"]["bias"])
+                        q["proj"]["bias"]).astype(jnp.bfloat16)
     h = _layernorm(x, q["norm2"])
     h = quant_dense(h, q["fc1"]["wq"], q["fc1"]["scale"], q["fc1"]["bias"])
     h = jax.nn.gelu(h, approximate=False)
-    x = x + quant_dense(h, q["fc2"]["wq"], q["fc2"]["scale"], q["fc2"]["bias"])
+    x = x + quant_dense(h, q["fc2"]["wq"], q["fc2"]["scale"],
+                        q["fc2"]["bias"]).astype(jnp.bfloat16)
     return x
 
 

@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""TPU microbenchmarks for the serving compute path.
+
+Establishes the chip's achievable matmul rates (bf16 vs int8) and decomposes
+the int8 ViT-B forward into its cost components, so kernel work targets the
+actual bottleneck (VERDICT r1 #2). All loops run INSIDE one jitted program
+(lax.fori_loop with a chained carry) so the ~100-300 ms tunnel RPC latency
+does not pollute the numbers; sync is a D2H read of a small reduction.
+
+Usage:
+    python experiments/microbench.py matmul     # bf16/int8 peak sweep
+    python experiments/microbench.py vit        # fwd variants, batch sweep
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _sync(x):
+    return np.asarray(x)
+
+
+def bench_matmul():
+    import jax
+    import jax.numpy as jnp
+
+    def run(n, iters, dtype):
+        rng = np.random.default_rng(0)
+        if dtype == "int8":
+            a = jnp.asarray(
+                rng.integers(-127, 128, (n, n)), jnp.int8
+            )
+            x0 = jnp.asarray(rng.integers(-127, 128, (n, n)), jnp.int8)
+
+            def body(_, x):
+                acc = jax.lax.dot(a, x, preferred_element_type=jnp.int32)
+                # renormalize back to int8 (elementwise, keeps the chain live)
+                return jnp.clip(acc >> 8, -127, 127).astype(jnp.int8)
+
+        else:
+            a = jnp.asarray(rng.normal(size=(n, n)) / np.sqrt(n), jnp.bfloat16)
+            x0 = jnp.asarray(rng.normal(size=(n, n)), jnp.bfloat16)
+
+            def body(_, x):
+                return jax.lax.dot(a, x).astype(jnp.bfloat16)
+
+        @jax.jit
+        def loop(x):
+            x = jax.lax.fori_loop(0, iters, body, x)
+            return jnp.sum(x.astype(jnp.float32))
+
+        _sync(loop(x0))  # compile+warm
+        t0 = time.time()
+        _sync(loop(x0))
+        dt = time.time() - t0
+        flops = 2 * n**3 * iters
+        return flops / dt / 1e12
+
+    for dtype in ("bf16", "int8"):
+        for n in (4096, 8192):
+            iters = 48 if n == 4096 else 12
+            rate = run(n, iters, dtype)
+            unit = "TOPS" if dtype == "int8" else "TFLOP/s"
+            print(f"matmul {dtype} {n}x{n}: {rate:.1f} {unit}", flush=True)
+
+
+def _vit_flops(batch, tokens=257, dim=768, depth=12):
+    per_block = 2 * tokens * dim * (3 * dim) + 2 * tokens * dim * dim \
+        + 2 * 2 * tokens * dim * 4 * dim
+    attn = 2 * 2 * tokens * tokens * dim
+    embed = 2 * (tokens - 1) * dim * 768
+    return batch * (depth * (per_block + attn) + embed)
+
+
+def bench_vit():
+    import jax
+    import jax.numpy as jnp
+
+    from chess_vision_tpu.models import build_model, init_variables
+    from chess_vision_tpu.ops.quant import (
+        chessvit_int8_apply,
+        quantize_chessvit,
+    )
+
+    cfg = {
+        "model": {"arch": "vit", "input_size": 256,
+                  "head_dropout": 0.0, "drop_path_rate": 0.0},
+        "training": {"mixed_precision": True},
+    }
+    model = build_model(cfg)
+    variables = init_variables(model, 256)
+    params = variables["params"]
+    pack = quantize_chessvit(params)
+    pack_dev = jax.tree.map(jnp.asarray, pack)
+
+    params = jax.tree.map(jnp.asarray, params)
+
+    def run(fn, weights, x, iters):
+        # weights passed as explicit args: a closed-over tree would be baked
+        # into the uploaded program (344MB f32 -> HTTP 413 on remote compile)
+        @jax.jit
+        def loop(weights, x):
+            def body(_, carry):
+                out = fn(weights, x + carry * jnp.bfloat16(0))
+                return jnp.sum(out["squares"]).astype(jnp.bfloat16) * 1e-12
+
+            return jax.lax.fori_loop(
+                0, iters, body, jnp.bfloat16(0.0)
+            )
+
+        _sync(loop(weights, x))
+        t0 = time.time()
+        _sync(loop(weights, x))
+        return time.time() - t0
+
+    for batch in (512, 1024, 2048):
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(size=(batch, 256, 256, 3)),
+            jnp.bfloat16,
+        )
+        iters = max(4, 2048 // batch)
+        fl = _vit_flops(batch) * iters
+
+        dt = run(chessvit_int8_apply, pack_dev, x, iters)
+        print(f"int8 vit b={batch}: {batch * iters / dt:.0f} img/s "
+              f"({fl / dt / 1e12:.1f} TFLOP/s-equiv)", flush=True)
+
+        dt = run(
+            lambda w, im: model.apply({"params": w}, im, train=False),
+            params, x, iters,
+        )
+        print(f"bf16 vit b={batch}: {batch * iters / dt:.0f} img/s "
+              f"({fl / dt / 1e12:.1f} TFLOP/s-equiv)", flush=True)
+
+
+if __name__ == "__main__":
+    from chess_vision_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+    what = sys.argv[1] if len(sys.argv) > 1 else "matmul"
+    if what == "matmul":
+        bench_matmul()
+    elif what == "vit":
+        bench_vit()
