@@ -29,6 +29,11 @@ class ViTBackbone(nn.Module):
     dropout: float = 0.0
     drop_path_rate: float = 0.0
     norm_eps: float = 1e-6
+    # Rematerialize each block in the backward pass (jax.checkpoint): only
+    # block inputs are saved as residuals, so training fits bigger batches —
+    # the standard TPU trade of FLOPs for HBM. Without it, batch 256 at
+    # 256px OOMs on v5e-16GB (per-block f32 attention scores in the VJP).
+    remat: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -70,9 +75,16 @@ class ViTBackbone(nn.Module):
         x = nn.Dropout(self.dropout)(x, deterministic=not train)
 
         # Stochastic depth increases linearly with depth (timm convention).
+        block_cls = TransformerBlock
+        if self.remat and train:
+            # prevent_cse=True (the default) is required here: without it XLA
+            # hoists every block's recomputation to the front of the backward
+            # pass and all 12 blocks' temporaries coexist — observed to OOM
+            # exactly like no-remat. False is only safe under lax.scan.
+            block_cls = nn.remat(TransformerBlock, static_argnums=(2,))
         for i in range(self.depth):
             dp = self.drop_path_rate * i / max(self.depth - 1, 1)
-            x = TransformerBlock(
+            x = block_cls(
                 num_heads=self.num_heads,
                 mlp_ratio=self.mlp_ratio,
                 dropout=self.dropout,
@@ -80,7 +92,7 @@ class ViTBackbone(nn.Module):
                 norm_eps=self.norm_eps,
                 dtype=self.dtype,
                 name=f"block{i}",
-            )(x, deterministic=not train)
+            )(x, not train)
 
         x = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm")(x)
         return x
