@@ -115,6 +115,86 @@ def _kernel_attention(qkv: jnp.ndarray, num_heads: int,
     )(qkv, qkv, qkv)
 
 
+def _attn_quant_kernel(q_ref, k_ref, v_ref, oq_ref, os_ref, scratch,
+                       *, num_heads, head_dim, scale):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    for i in range(num_heads):
+        sl = slice(i * head_dim, (i + 1) * head_dim)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        scratch[:, sl] = jax.lax.dot(
+            p.astype(v.dtype), v[:, sl],
+            preferred_element_type=jnp.float32,
+        )
+    # int8 serving path: the proj matmul consumes a quantized tensor anyway,
+    # so quantize here — the full row is on-chip — instead of writing bf16 to
+    # HBM and re-reading it in a separate rowquant pass.
+    o = scratch[...].astype(jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(o), axis=-1, keepdims=True), 1e-8)
+    oq_ref[0] = jnp.clip(jnp.round(o * (127.0 / amax)), -127, 127
+                         ).astype(jnp.int8)
+    os_ref[0] = amax * (1.0 / 127.0)
+
+
+def fused_qkv_attention_quant(qkv: jnp.ndarray, num_heads: int,
+                              interpret: bool = False):
+    """(B, N, 3*H*Dh) packed qkv -> (int8 (B, N, H*Dh), f32 (B, N, 1)).
+
+    Attention + dynamic per-token int8 quantization of the output in one
+    kernel (serving path: feeds the int8 proj matmul). Falls back to
+    attention-then-quant in plain XLA off-TPU.
+    """
+    B, N, C3 = qkv.shape
+    D = C3 // 3
+    head_dim = D // num_heads
+    if jax.default_backend() != "tpu" and not interpret:
+        o = _reference_attention(qkv, num_heads).astype(jnp.float32)
+        amax = jnp.maximum(jnp.max(jnp.abs(o), axis=-1, keepdims=True), 1e-8)
+        oq = jnp.clip(jnp.round(o * (127.0 / amax)), -127, 127
+                      ).astype(jnp.int8)
+        return oq, amax * (1.0 / 127.0)
+    scale = 1.0 / math.sqrt(head_dim)
+    spec = lambda part: pl.BlockSpec(  # noqa: E731
+        (1, N, D),
+        lambda b, part=part: (b, 0, part),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        functools.partial(_attn_quant_kernel, num_heads=num_heads,
+                          head_dim=head_dim, scale=scale),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, D), jnp.int8),
+            jax.ShapeDtypeStruct((B, N, 1), jnp.float32),
+        ),
+        grid=(B,),
+        in_specs=[spec(0), spec(1), spec(2)],
+        out_specs=(
+            pl.BlockSpec((1, N, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((N, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * num_heads * N * N * head_dim,
+            bytes_accessed=qkv.size * qkv.dtype.itemsize,
+            transcendentals=B * num_heads * N * N,
+        ),
+        interpret=interpret,
+    )(qkv, qkv, qkv)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def _tpu_attention(qkv, num_heads):
     return _kernel_attention(qkv, num_heads)

@@ -1,0 +1,222 @@
+"""Fused int8 matmul + epilogue kernels for the ChessViT serving path.
+
+Round-1 profile: with the matmuls on int8 MXU (XLA `dot_general`) and the
+pre-op+quant chain in one Pallas pass (ops/quant.fused_rowquant), the
+remaining HBM traffic is the bf16 *activation* tensors that XLA's matmul
+epilogue writes out and the rowquant pass immediately re-reads (~40% of int8
+runtime, VPU/HBM-bound). These kernels close that gap: the int8 MXU matmul
+and the FULL epilogue — int32->f32 rescale, bias, then GELU / residual-add /
+LayerNorm — plus the *next* operation's dynamic row quantization all run in
+one Pallas kernel, so every activation is written to HBM exactly once, as
+int8 (plus the bf16 residual stream, written once per block half).
+
+Three variants cover the ViT block (reference models/vit_chess.py forward;
+the quantization scheme itself is W8A8 per-token dynamic as in quant.py):
+
+  int8_matmul_gelu_quant     y = rowquant(gelu(xq @ wq * s + b))       [fc1]
+  int8_matmul_res_ln_quant   x' = res + (xq @ wq * s + b)              [proj,
+                             y = rowquant(layernorm(x'))                fc2]
+  int8_matmul_res            x' = res + (xq @ wq * s + b)         [last fc2]
+
+Grid: one cell per `bb` images; the weight block's index map is constant so
+Mosaic keeps it VMEM-resident across cells. Per image the matmul runs as a
+(N, K) x (K, O) int8 dot on the MXU with int32 accumulation; the epilogue
+(VPU) happens on the in-register/ VMEM tile before the single HBM write.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_bb(B: int, bytes_per_image: int, budget: int = 48 * 2**20) -> int:
+    return next(b for b in (8, 4, 2, 1)
+                if B % b == 0 and b * bytes_per_image <= budget)
+
+
+def _matmul_f32(xq_i, xs_i, w, ws, bias):
+    """(N, K) int8 x (K, O) int8 -> (N, O) f32 rescaled + biased."""
+    acc = jax.lax.dot_general(
+        xq_i, w,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * xs_i * ws + bias
+
+
+def _rowquant(y):
+    amax = jnp.maximum(jnp.max(jnp.abs(y), axis=-1, keepdims=True), 1e-8)
+    yq = jnp.clip(jnp.round(y * (127.0 / amax)), -127, 127).astype(jnp.int8)
+    return yq, amax * (1.0 / 127.0)
+
+
+def _gelu_erf(x):
+    """Exact-erf GELU via Abramowitz-Stegun 7.1.26 (no erf primitive in the
+    Pallas TPU lowering; max abs err 1.5e-7 — same rational as quant._erf)."""
+    a = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+    z = x * 0.7071067811865476
+    az = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * az)
+    poly = t * (a[0] + t * (a[1] + t * (a[2] + t * (a[3] + t * a[4]))))
+    erf = jnp.sign(z) * (1.0 - poly * jnp.exp(-az * az))
+    return 0.5 * x * (1.0 + erf)
+
+
+def _gelu_quant_kernel(xq_ref, xs_ref, wq_ref, ws_ref, b_ref,
+                       yq_ref, ys_ref, *, bb):
+    w = wq_ref[...]
+    for i in range(bb):
+        y = _gelu_erf(_matmul_f32(xq_ref[i], xs_ref[i], w,
+                                  ws_ref[0], b_ref[0]))
+        yq_ref[i], ys_ref[i] = _rowquant(y)
+
+
+def _res_ln_quant_kernel(xq_ref, xs_ref, wq_ref, ws_ref, b_ref, res_ref,
+                         g_ref, b2_ref, xn_ref, yq_ref, ys_ref, *, bb, eps):
+    w = wq_ref[...]
+    for i in range(bb):
+        y = _matmul_f32(xq_ref[i], xs_ref[i], w, ws_ref[0], b_ref[0])
+        xn = res_ref[i].astype(jnp.float32) + y
+        xn_b = xn.astype(xn_ref.dtype)
+        xn_ref[i] = xn_b
+        # LayerNorm on the stored (rounded) residual so the math is identical
+        # to re-reading it; one-pass stats (var = E[x^2] - mu^2)
+        h = xn_b.astype(jnp.float32)
+        mu = jnp.mean(h, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(h), axis=-1, keepdims=True) - jnp.square(mu)
+        h = (h - mu) * jax.lax.rsqrt(var + eps) * g_ref[0] + b2_ref[0]
+        yq_ref[i], ys_ref[i] = _rowquant(h)
+
+
+def _res_kernel(xq_ref, xs_ref, wq_ref, ws_ref, b_ref, res_ref,
+                xn_ref, *, bb):
+    w = wq_ref[...]
+    for i in range(bb):
+        y = _matmul_f32(xq_ref[i], xs_ref[i], w, ws_ref[0], b_ref[0])
+        xn_ref[i] = (res_ref[i].astype(jnp.float32) + y).astype(xn_ref.dtype)
+
+
+def _row2(v, O):
+    return jnp.asarray(v, jnp.float32).reshape(1, O)
+
+
+def _common_in_specs(bb, N, K, O):
+    return [
+        pl.BlockSpec((bb, N, K), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, N, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, O), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, O), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, O), lambda b: (0, 0), memory_space=pltpu.VMEM),
+    ]
+
+
+def _cost(B, N, K, O, transcendental_rows=0):
+    return pl.CostEstimate(
+        flops=2 * B * N * K * O,
+        bytes_accessed=B * N * (K + O) + K * O + 4 * B * N * 2,
+        transcendentals=transcendental_rows * B * N * O,
+    )
+
+
+def int8_matmul_gelu_quant(xq, xs, wq, ws, bias, interpret: bool = False):
+    """fc1 + GELU + requant in one HBM pass.
+
+    xq: (B, N, K) int8; xs: (B, N, 1) f32; wq: (K, O) int8; ws/bias: (O,).
+    Returns (yq (B, N, O) int8, ys (B, N, 1) f32).
+    """
+    B, N, K = xq.shape
+    O = wq.shape[1]
+    bb = _pick_bb(B, N * (K + 6 * O))  # int8 in + f32 acc + int8/f32 out
+    return pl.pallas_call(
+        functools.partial(_gelu_quant_kernel, bb=bb),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, O), jnp.int8),
+            jax.ShapeDtypeStruct((B, N, 1), jnp.float32),
+        ),
+        grid=(B // bb,),
+        in_specs=_common_in_specs(bb, N, K, O),
+        out_specs=(
+            pl.BlockSpec((bb, N, O), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, N, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 2**20,
+        ),
+        cost_estimate=_cost(B, N, K, O, transcendental_rows=2),
+        interpret=interpret,
+    )(xq, xs, wq, _row2(ws, O), _row2(bias, O))
+
+
+def int8_matmul_res_ln_quant(xq, xs, wq, ws, bias, res, ln_scale, ln_bias,
+                             eps: float = 1e-6, interpret: bool = False):
+    """proj/fc2 + residual add + next LayerNorm + requant in one HBM pass.
+
+    res: (B, N, O) bf16 residual stream. Returns (x_new (B, N, O) bf16,
+    yq (B, N, O) int8, ys (B, N, 1) f32) where yq/ys quantize
+    layernorm(x_new).
+    """
+    B, N, K = xq.shape
+    O = wq.shape[1]
+    bb = _pick_bb(B, N * (K + 11 * O))
+    return pl.pallas_call(
+        functools.partial(_res_ln_quant_kernel, bb=bb, eps=eps),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, O), res.dtype),
+            jax.ShapeDtypeStruct((B, N, O), jnp.int8),
+            jax.ShapeDtypeStruct((B, N, 1), jnp.float32),
+        ),
+        grid=(B // bb,),
+        in_specs=_common_in_specs(bb, N, K, O) + [
+            pl.BlockSpec((bb, N, O), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, O), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, O), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bb, N, O), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, N, O), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, N, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 2**20,
+        ),
+        cost_estimate=_cost(B, N, K, O),
+        interpret=interpret,
+    )(xq, xs, wq, _row2(ws, O), _row2(bias, O), res,
+      _row2(ln_scale, O), _row2(ln_bias, O))
+
+
+def int8_matmul_res(xq, xs, wq, ws, bias, res, interpret: bool = False):
+    """Last-block fc2 + residual add (no follow-on LayerNorm/quant)."""
+    B, N, K = xq.shape
+    O = wq.shape[1]
+    bb = _pick_bb(B, N * (K + 9 * O))
+    return pl.pallas_call(
+        functools.partial(_res_kernel, bb=bb),
+        out_shape=jax.ShapeDtypeStruct((B, N, O), res.dtype),
+        grid=(B // bb,),
+        in_specs=_common_in_specs(bb, N, K, O) + [
+            pl.BlockSpec((bb, N, O), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bb, N, O), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 2**20,
+        ),
+        cost_estimate=_cost(B, N, K, O),
+        interpret=interpret,
+    )(xq, xs, wq, _row2(ws, O), _row2(bias, O), res)

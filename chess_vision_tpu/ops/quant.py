@@ -206,35 +206,50 @@ def quant_dense_q(xq, x_scale, wq, w_scale, bias, out_dtype=jnp.bfloat16):
     return (acc.astype(jnp.float32) * x_scale * w_scale + bias).astype(out_dtype)
 
 
-def _block(x, q, num_heads=12):
-    """x: (B, N, D) bf16 residual stream.
+def _block_tpu(x, xq, xs, q, next_ln, num_heads=12, interpret=False):
+    """One ViT block on the fused-kernel serving path.
 
-    TPU path: every activation tensor is read exactly once — LN/GELU +
-    abs-max + int8 quantize fuse into one Pallas pass (fused_rowquant), the
-    int8 matmul rescale rides the XLA epilogue, and attention runs through
-    the fused kernel on the PACKED qkv output (no reshape copy, no HBM score
-    tensor). Elsewhere (CPU tests) the identical math runs as plain XLA ops.
+    x: (B, N, D) bf16 residual stream; xq/xs: this block's LN1 output already
+    quantized (produced by the PREVIOUS block's fc2 epilogue, or by
+    fused_rowquant for block 0). Every activation is written to HBM exactly
+    once: qkv rides XLA's int8-matmul epilogue into bf16, attention quantizes
+    its own output in-kernel, and the proj/fc1/fc2 matmuls carry their full
+    epilogue (rescale + bias + residual/GELU + next LayerNorm + requant)
+    inside one Pallas kernel each (ops/int8_matmul.py). Returns
+    (x_new, xq', xs') where xq'/xs' quantize next_ln(x_new) — None for the
+    last block (the final LayerNorm runs in XLA).
     """
-    from chess_vision_tpu.ops.attention import fused_qkv_attention
+    from chess_vision_tpu.ops.attention import fused_qkv_attention_quant
+    from chess_vision_tpu.ops.int8_matmul import (
+        int8_matmul_gelu_quant,
+        int8_matmul_res,
+        int8_matmul_res_ln_quant,
+    )
 
-    on_tpu = jax.default_backend() == "tpu"
-    if on_tpu:
-        xq, xs = fused_rowquant(x, "ln", q["norm1"]["scale"],
-                                q["norm1"]["bias"])
-        qkv = quant_dense_q(xq, xs, q["qkv"]["wq"], q["qkv"]["scale"],
-                            q["qkv"]["bias"])
-        att = fused_qkv_attention(qkv, num_heads)
-        aq, as_ = fused_rowquant(att, "none")
-        x = x + quant_dense_q(aq, as_, q["proj"]["wq"], q["proj"]["scale"],
-                              q["proj"]["bias"])
-        hq, hs = fused_rowquant(x, "ln", q["norm2"]["scale"],
-                                q["norm2"]["bias"])
-        h = quant_dense_q(hq, hs, q["fc1"]["wq"], q["fc1"]["scale"],
-                          q["fc1"]["bias"])
-        gq, gs = fused_rowquant(h, "gelu")
-        x = x + quant_dense_q(gq, gs, q["fc2"]["wq"], q["fc2"]["scale"],
-                              q["fc2"]["bias"])
-        return x
+    qkv = quant_dense_q(xq, xs, q["qkv"]["wq"], q["qkv"]["scale"],
+                        q["qkv"]["bias"])
+    aq, as_ = fused_qkv_attention_quant(qkv, num_heads, interpret=interpret)
+    x, hq, hs = int8_matmul_res_ln_quant(
+        aq, as_, q["proj"]["wq"], q["proj"]["scale"], q["proj"]["bias"],
+        x, q["norm2"]["scale"], q["norm2"]["bias"], interpret=interpret)
+    gq, gs = int8_matmul_gelu_quant(
+        hq, hs, q["fc1"]["wq"], q["fc1"]["scale"], q["fc1"]["bias"],
+        interpret=interpret)
+    if next_ln is None:
+        x = int8_matmul_res(
+            gq, gs, q["fc2"]["wq"], q["fc2"]["scale"], q["fc2"]["bias"], x,
+            interpret=interpret)
+        return x, None, None
+    x, xq, xs = int8_matmul_res_ln_quant(
+        gq, gs, q["fc2"]["wq"], q["fc2"]["scale"], q["fc2"]["bias"],
+        x, next_ln["scale"], next_ln["bias"], interpret=interpret)
+    return x, xq, xs
+
+
+def _block(x, q, num_heads=12):
+    """Plain-XLA int8 block (CPU test meshes; identical math to the fused
+    TPU path in _block_tpu up to f32/bf16 rounding order)."""
+    from chess_vision_tpu.ops.attention import fused_qkv_attention
 
     h = _layernorm(x, q["norm1"])
     qkv = quant_dense(h, q["qkv"]["wq"], q["qkv"]["scale"], q["qkv"]["bias"])
@@ -265,8 +280,16 @@ def chessvit_int8_apply(pack: dict, images) -> dict:
     cls = jnp.broadcast_to(pack["cls_token"], (B, 1, D)).astype(x.dtype)
     x = jnp.concatenate([cls, x], axis=1) + pack["pos_embed"].astype(x.dtype)
 
-    for q in pack["blocks"]:
-        x = _block(x, q)
+    blocks = pack["blocks"]
+    if jax.default_backend() == "tpu":
+        xq, xs = fused_rowquant(x, "ln", blocks[0]["norm1"]["scale"],
+                                blocks[0]["norm1"]["bias"])
+        for i, q in enumerate(blocks):
+            nxt = blocks[i + 1]["norm1"] if i + 1 < len(blocks) else None
+            x, xq, xs = _block_tpu(x, xq, xs, q, nxt)
+    else:
+        for q in blocks:
+            x = _block(x, q)
 
     x = _layernorm(x, pack["norm"])
     cls_token = x[:, 0]

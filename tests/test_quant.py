@@ -69,3 +69,142 @@ def test_int8_vit_matches_f32_model():
     ).mean()
     # random-init logits are nearly tied; trained margins agree far better
     assert agree > 0.95, agree
+
+
+# ---------------------------------------------------------------------------
+# Fused int8 matmul+epilogue kernels (interpret mode) vs the plain-XLA path
+# ---------------------------------------------------------------------------
+
+def _dequant(yq, ys):
+    return np.asarray(yq, np.float32) * np.asarray(ys, np.float32)
+
+
+def test_int8_matmul_gelu_quant_matches_composition():
+    from chess_vision_tpu.ops.int8_matmul import int8_matmul_gelu_quant
+    from chess_vision_tpu.ops.quant import fused_rowquant, quant_dense_q
+
+    rng = np.random.default_rng(7)
+    B, N, K, O = 2, 16, 64, 128
+    x = rng.normal(size=(B, N, K)).astype(np.float32)
+    w = rng.normal(size=(K, O)).astype(np.float32) / np.sqrt(K)
+    wq, ws = _quant_weight(w)
+    bias = rng.normal(size=(O,)).astype(np.float32) * 0.1
+
+    xq, xs = fused_rowquant(jnp.asarray(x), "none", interpret=True)
+    yq, ys = int8_matmul_gelu_quant(xq, xs, jnp.asarray(wq), jnp.asarray(ws),
+                                    jnp.asarray(bias), interpret=True)
+    # composition: XLA int8 matmul -> bf16 -> gelu-rowquant pass
+    h = quant_dense_q(xq, xs, jnp.asarray(wq), jnp.asarray(ws),
+                      jnp.asarray(bias))
+    gq, gs = fused_rowquant(h, "gelu", interpret=True)
+    a, b = _dequant(yq, ys), _dequant(gq, gs)
+    # fused path skips the intermediate bf16 rounding -> tolerance, not bits
+    tol = 2 * np.abs(b).max(axis=-1, keepdims=True) / 127 + 2e-2
+    assert np.abs(a - b).max() < 0.1, np.abs(a - b).max()
+    assert (np.abs(a - b) <= tol).mean() > 0.99
+
+
+def test_int8_matmul_res_ln_quant_matches_composition():
+    from chess_vision_tpu.ops.int8_matmul import int8_matmul_res_ln_quant
+    from chess_vision_tpu.ops.quant import (
+        _layernorm, fused_rowquant, quant_dense_q)
+
+    rng = np.random.default_rng(8)
+    B, N, K, O = 2, 16, 128, 64
+    x = rng.normal(size=(B, N, K)).astype(np.float32)
+    res = rng.normal(size=(B, N, O)).astype(np.float32)
+    w = rng.normal(size=(K, O)).astype(np.float32) / np.sqrt(K)
+    wq, ws = _quant_weight(w)
+    bias = rng.normal(size=(O,)).astype(np.float32) * 0.1
+    g = rng.normal(size=(O,)).astype(np.float32)
+    b2 = rng.normal(size=(O,)).astype(np.float32) * 0.1
+
+    xq, xs = fused_rowquant(jnp.asarray(x), "none", interpret=True)
+    res_b = jnp.asarray(res).astype(jnp.bfloat16)
+    xn, yq, ys = int8_matmul_res_ln_quant(
+        xq, xs, jnp.asarray(wq), jnp.asarray(ws), jnp.asarray(bias),
+        res_b, jnp.asarray(g), jnp.asarray(b2), interpret=True)
+
+    xn_ref = res_b + quant_dense_q(xq, xs, jnp.asarray(wq), jnp.asarray(ws),
+                                   jnp.asarray(bias))
+    gq, gs = fused_rowquant(xn_ref.astype(jnp.bfloat16), "ln", g, b2,
+                            interpret=True)
+    assert np.allclose(np.asarray(xn, np.float32),
+                       np.asarray(xn_ref, np.float32), atol=0.15)
+    a, b = _dequant(yq, ys), _dequant(gq, gs)
+    assert np.abs(a - b).max() < 0.2, np.abs(a - b).max()
+
+
+def test_int8_matmul_res_matches_composition():
+    from chess_vision_tpu.ops.int8_matmul import int8_matmul_res
+    from chess_vision_tpu.ops.quant import fused_rowquant, quant_dense_q
+
+    rng = np.random.default_rng(9)
+    B, N, K, O = 1, 8, 64, 64
+    x = rng.normal(size=(B, N, K)).astype(np.float32)
+    res = rng.normal(size=(B, N, O)).astype(np.float32)
+    w = rng.normal(size=(K, O)).astype(np.float32) / np.sqrt(K)
+    wq, ws = _quant_weight(w)
+    bias = np.zeros((O,), np.float32)
+
+    xq, xs = fused_rowquant(jnp.asarray(x), "none", interpret=True)
+    res_b = jnp.asarray(res).astype(jnp.bfloat16)
+    xn = int8_matmul_res(xq, xs, jnp.asarray(wq), jnp.asarray(ws),
+                         jnp.asarray(bias), res_b, interpret=True)
+    xn_ref = res_b + quant_dense_q(xq, xs, jnp.asarray(wq), jnp.asarray(ws),
+                                   jnp.asarray(bias))
+    assert np.allclose(np.asarray(xn, np.float32),
+                       np.asarray(xn_ref, np.float32), atol=0.1)
+
+
+def test_attention_quant_fusion_matches_separate():
+    from chess_vision_tpu.ops.attention import (
+        _reference_attention, fused_qkv_attention_quant)
+
+    rng = np.random.default_rng(10)
+    B, N, H, Dh = 2, 16, 2, 64
+    qkv = jnp.asarray(rng.normal(size=(B, N, 3 * H * Dh)).astype(np.float32))
+    oq, os_ = fused_qkv_attention_quant(qkv, H, interpret=True)
+    ref = np.asarray(_reference_attention(qkv, H), np.float32)
+    deq = _dequant(oq, os_)
+    step = np.abs(ref).max(axis=-1, keepdims=True) / 127
+    assert (np.abs(deq - ref) <= step + 1e-5).all()
+
+
+def test_block_tpu_chain_matches_plain_block():
+    """The fused serving chain (interpret mode) reproduces _block's math."""
+    from chess_vision_tpu.ops.quant import (
+        _block, _block_tpu, fused_rowquant)
+
+    rng = np.random.default_rng(11)
+    B, N, D, H = 1, 16, 128, 2
+    x = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32) * 0.5
+                    ).astype(jnp.bfloat16)
+
+    def mkdense(k, o):
+        w = rng.normal(size=(k, o)).astype(np.float32) / np.sqrt(k)
+        wq, ws = _quant_weight(w)
+        return {"wq": jnp.asarray(wq), "scale": jnp.asarray(ws),
+                "bias": jnp.asarray(rng.normal(size=(o,)).astype(np.float32)
+                                    * 0.05)}
+
+    def mknorm():
+        return {"scale": jnp.asarray(1 + 0.1 * rng.normal(size=(D,))
+                                     .astype(np.float32)),
+                "bias": jnp.asarray(0.1 * rng.normal(size=(D,))
+                                    .astype(np.float32))}
+
+    q = {"norm1": mknorm(), "norm2": mknorm(),
+         "qkv": mkdense(D, 3 * D), "proj": mkdense(D, D),
+         "fc1": mkdense(D, 4 * D), "fc2": mkdense(4 * D, D)}
+
+    ref = np.asarray(_block(x, q, num_heads=H), np.float32)
+    xq, xs = fused_rowquant(x, "ln", q["norm1"]["scale"], q["norm1"]["bias"],
+                            interpret=True)
+    out, xq2, xs2 = _block_tpu(x, xq, xs, q, next_ln=None, num_heads=H,
+                               interpret=True)
+    assert xq2 is None and xs2 is None
+    out = np.asarray(out, np.float32)
+    assert np.abs(out - ref).max() < 0.25, np.abs(out - ref).max()
+    rel = np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-6)
+    assert rel < 0.05, rel
