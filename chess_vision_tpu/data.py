@@ -39,10 +39,17 @@ class ChessDataset:
         manifest: str | None = None,
         input_size: int = 256,
         fast_decode: bool = True,
+        cache_decoded: bool = False,
     ):
         self.root_dir = root_dir
         self.input_size = input_size
         self.fast_decode = fast_decode
+        # Decoded-sample RAM cache for multi-epoch training: decode output is
+        # deterministic per sample (all augmentation runs device-side), so
+        # epochs 2+ skip JPEG decode entirely. ~96KB/sample for the ycbcr420
+        # transport (~4.3GB for a 45k split), ~192KB for RGB. dict get/set are
+        # single bytecode ops under the GIL — safe from loader threads.
+        self._cache: dict | None = {} if cache_decoded else None
 
         if manifest is None:
             manifest = os.path.join(root_dir, "manifest.csv")
@@ -94,30 +101,45 @@ class ChessDataset:
         PIL-parity triangle filter — chess_vision_tpu/native) when available;
         everything else (and fast_decode=False) uses PIL BILINEAR.
         """
+        if self._cache is not None:
+            hit = self._cache.get(("rgb", idx))
+            if hit is not None:
+                return hit
         path = os.path.join(self.root_dir, self.samples[idx]["filename"])
+        out = None
         if self.fast_decode:
             from chess_vision_tpu import native
 
             out = native.decode_file(path, self.input_size)
-            if out is not None:
-                return out
-        img = Image.open(path).convert("RGB")
-        if img.size != (self.input_size, self.input_size):
-            img = img.resize((self.input_size, self.input_size), Image.BILINEAR)
-        return np.asarray(img, dtype=np.uint8)
+        if out is None:
+            img = Image.open(path).convert("RGB")
+            if img.size != (self.input_size, self.input_size):
+                img = img.resize(
+                    (self.input_size, self.input_size), Image.BILINEAR
+                )
+            out = np.asarray(img, dtype=np.uint8)
+        if self._cache is not None:
+            self._cache[("rgb", idx)] = out
+        return out
 
     def load_planes(self, idx: int):
         """(Y, Cb, Cr) uint8 planes for the YCbCr-4:2:0 transport: native raw
         JPEG decode when possible, else RGB decode + host conversion."""
         from chess_vision_tpu import native
 
+        if self._cache is not None:
+            hit = self._cache.get(("ycbcr", idx))
+            if hit is not None:
+                return hit
         path = os.path.join(self.root_dir, self.samples[idx]["filename"])
         planes = native.decode_file_ycbcr420(path, self.input_size)
-        if planes is not None:
-            return planes
-        from chess_vision_tpu.serve import rgb_to_ycbcr420
+        if planes is None:
+            from chess_vision_tpu.serve import rgb_to_ycbcr420
 
-        return rgb_to_ycbcr420(self.load_image(idx))
+            planes = rgb_to_ycbcr420(self.load_image(idx))
+        if self._cache is not None:
+            self._cache[("ycbcr", idx)] = planes
+        return planes
 
     def __getitem__(self, idx: int):
         return self.load_image(idx), self.labels_for(idx)

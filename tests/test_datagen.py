@@ -221,3 +221,31 @@ def test_synth_piece_sets_discoverable(tmp_path):
     finally:
         set_assets_dir(None)
     assert len(SYNTH_STYLES) >= 14  # font 12 + synth 14 = 26-style pool
+
+
+def test_dataset_decode_cache_identical(tmp_path):
+    """cache_decoded=True returns identical pixels and hits on repeat loads."""
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    from chess_vision_tpu.data import ChessDataset
+
+    subprocess.run(
+        [sys.executable, "-m", "chess_vision_tpu.datagen.generate",
+         "--out", str(tmp_path / "d"), "--count", "3", "--seed", "5"],
+        check=True, capture_output=True,
+    )
+    cold = ChessDataset(str(tmp_path / "d"))
+    warm = ChessDataset(str(tmp_path / "d"), cache_decoded=True)
+    for i in range(3):
+        a = cold.load_image(i)
+        b = warm.load_image(i)
+        assert np.array_equal(a, b)
+        assert warm.load_image(i) is b  # served from cache
+        p = warm.load_planes(i)
+        assert warm.load_planes(i) is p
+        q = cold.load_planes(i)
+        for x, y in zip(p, q):
+            assert np.array_equal(x, y)

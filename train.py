@@ -114,8 +114,10 @@ def main():
     input_size = cfg["model"].get("input_size") or 224
     data_cfg = get_data_config(cfg["model"]["name"])
     max_samples = cfg["data"].get("max_samples")
+    cache_decoded = bool(cfg["data"].get("cache_decoded", True))
     dataset = ChessDataset(
-        cfg["data"]["train_dir"], max_samples=max_samples, input_size=input_size
+        cfg["data"]["train_dir"], max_samples=max_samples,
+        input_size=input_size, cache_decoded=cache_decoded,
     )
     train_idx, val_idx = seeded_split(
         len(dataset), cfg["data"]["val_split"], seed=42
@@ -145,7 +147,7 @@ def main():
         ood_dataset = ChessDataset(
             ood_dir,
             max_samples=cfg["data"].get("ood_val_max_samples", 2000),
-            input_size=input_size,
+            input_size=input_size, cache_decoded=cache_decoded,
         )
         ood_loader = BatchLoader(
             ood_dataset, np.arange(len(ood_dataset)), batch_size,
