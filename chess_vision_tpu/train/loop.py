@@ -125,15 +125,30 @@ def run_train_epoch(
     step_log: Callable | None = None,
     schedule=None,
     profile_stop_after: int | None = None,
+    max_inflight: int | None = None,
 ):
     """One training epoch. Returns (state, metrics dict).
 
     step_log(global_step, loss_scalar, piece_loss_scalar, lr) receives device
     scalars; callers defer materialization (utils/logging.py) to keep dispatch
     async.
+
+    max_inflight bounds the async dispatch queue: once more than that many
+    steps are un-materialized, block on the oldest step's loss scalar before
+    dispatching further. Unbounded dispatch floods the remote relay on the
+    tunnelled single-chip backend (hundreds of queued 25MB H2D RPCs) and has
+    wedged it at the epoch-end barrier; a small bound keeps flow control
+    steady at negligible cost (the awaited scalar is long since computed).
+    Default: CHESS_VISION_MAX_INFLIGHT env or 8; <=0 disables.
     """
+    import collections
+    import os
     import sys
     import time as _time
+
+    if max_inflight is None:
+        max_inflight = int(os.environ.get("CHESS_VISION_MAX_INFLIGHT", "8"))
+    pending = collections.deque()
 
     total = None
     step = int(state.step)  # one sync at epoch start, then host-side counting
@@ -146,6 +161,12 @@ def run_train_epoch(
             lr = float(schedule(step)) if schedule is not None else None
             step_log(step, sums["step_loss"], sums["step_piece_loss"], lr)
         step += 1
+        if max_inflight > 0:
+            pending.append(sums["step_loss"])
+            if len(pending) > max_inflight:
+                # D2H read, not block_until_ready: the latter can resolve
+                # early over the relay backend (see CLAUDE.md).
+                float(pending.popleft())
         sums = {k: v for k, v in sums.items() if not k.startswith("step_")}
         total = accumulate(total, sums)
         if i == 0 or (i + 1) % 20 == 0:
@@ -164,10 +185,20 @@ def run_train_epoch(
     return state, finalize(total)
 
 
-def run_eval_epoch(eval_step, state, loader, mesh):
+def run_eval_epoch(eval_step, state, loader, mesh, max_inflight: int | None = None):
+    import collections
+    import os
+
+    if max_inflight is None:
+        max_inflight = int(os.environ.get("CHESS_VISION_MAX_INFLIGHT", "8"))
+    pending = collections.deque()
     total = None
     for batch in loader:
         device_batch = shard_batch(batch, mesh)
         sums = eval_step(state.params, state.batch_stats, device_batch)
+        if max_inflight > 0:
+            pending.append(sums["loss_sum"])
+            if len(pending) > max_inflight:
+                float(pending.popleft())  # D2H read: real flow-control sync
         total = accumulate(total, sums)
     return finalize(total)
