@@ -249,3 +249,44 @@ def test_dataset_decode_cache_identical(tmp_path):
         q = cold.load_planes(i)
         for x, y in zip(p, q):
             assert np.array_equal(x, y)
+
+
+def test_synth_boards_generated_and_consumable(tmp_path):
+    """synth_boards bakes texture images that the renderer discovers and
+    renders with (reference render.js:26-30 image-texture path)."""
+    import numpy as np
+
+    from chess_vision_tpu.datagen.render import (
+        BoardStyle,
+        available_textures,
+        render_board,
+        set_assets_dir,
+    )
+    from chess_vision_tpu.datagen.synth_boards import SYNTH_TEXTURES, synthesize
+
+    n = synthesize(str(tmp_path / "boards"), size=128)
+    assert n == sum(v for _, v in SYNTH_TEXTURES.values()) >= 20
+
+    set_assets_dir(str(tmp_path))
+    try:
+        names = available_textures()
+        assert len(names) == n
+        fen = "8/8/8/8/8/8/8/8"
+        plain = np.asarray(render_board(
+            fen, BoardStyle(texture=None, jitter=0.0), 128))
+        for name in names[:3]:
+            tex = np.asarray(render_board(
+                fen, BoardStyle(texture=("img", name), jitter=0.0), 128))
+            assert not np.array_equal(tex, plain)
+    finally:
+        set_assets_dir(None)
+
+
+def test_synth_boards_deterministic(tmp_path):
+    from chess_vision_tpu.datagen.synth_boards import synthesize
+
+    synthesize(str(tmp_path / "a"), size=64, families=["wood"])
+    synthesize(str(tmp_path / "b"), size=64, families=["wood"])
+    a = (tmp_path / "a" / "synth_wood0.jpg").read_bytes()
+    b = (tmp_path / "b" / "synth_wood0.jpg").read_bytes()
+    assert a == b
