@@ -1,0 +1,162 @@
+"""Device-resident dataset (data_device.py) + scanned epoch runners:
+the HBM-cached path must be batch-for-batch equivalent to the streaming
+BatchLoader path — same shuffle order, same augment RNG, same metrics,
+same resulting parameters.
+"""
+
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from chess_vision_tpu.data import BatchLoader, ChessDataset
+from chess_vision_tpu.data_device import DeviceData
+from chess_vision_tpu.models import build_model
+from chess_vision_tpu.train.loop import (
+    jit_steps,
+    make_steps,
+    pick_scan_steps,
+    run_eval_epoch,
+    run_eval_epoch_scan,
+    run_train_epoch,
+    run_train_epoch_scan,
+)
+from chess_vision_tpu.train.state import create_train_state
+
+
+@pytest.fixture(scope="module")
+def tiny_dir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("dd") / "data"
+    subprocess.run(
+        [sys.executable, "-m", "chess_vision_tpu.datagen.generate",
+         "--out", str(out), "--count", "20", "--size", "64", "--seed", "3"],
+        check=True, capture_output=True,
+    )
+    return str(out)
+
+
+def _cfg(batch_size):
+    return {
+        "model": {
+            "arch": "square", "input_size": 64, "square_overlap": 1.5,
+            "square_input_size": 32, "head_dropout": 0.0,
+            "drop_path_rate": 0.0, "freeze_backbone": False,
+            "pin_backbone_bn": False,
+        },
+        "training": {
+            "mixed_precision": False, "epochs": 1, "batch_size": batch_size,
+            "lr": 1e-3, "weight_decay": 0.01, "grad_clip_norm": 1.0,
+            "label_smoothing": 0.0, "turn_loss_weight": 1.0,
+            "castling_loss_weight": 1.0,
+        },
+        "scheduler": {"warmup_epochs": 1},
+    }
+
+
+def _setup(cfg):
+    import jax.numpy as jnp
+
+    model = build_model(cfg)
+    size = cfg["model"]["input_size"]
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        jnp.zeros((1, size, size, 3)), train=False,
+    )
+    state, _ = create_train_state(cfg, variables, steps_per_epoch=4)
+    mean = std = (0.5, 0.5, 0.5)
+    return make_steps(model, cfg, None, mean, std), state
+
+
+def test_pick_scan_steps():
+    assert pick_scan_steps(175) == 25
+    assert pick_scan_steps(20) == 20
+    assert pick_scan_steps(1) == 1
+    assert 1 <= pick_scan_steps(173) <= 32  # prime: target fallback
+    assert pick_scan_steps(64) == 32
+
+
+def test_epoch_plan_matches_batchloader_order(tiny_dir):
+    ds = ChessDataset(tiny_dir, input_size=64)
+    indices = np.arange(len(ds))
+    loader = BatchLoader(ds, indices, 8, shuffle=True, seed=5,
+                         num_workers=1, drop_remainder=True,
+                         transport="packed")
+    stream_batches = [b["indices"][:8] for b in loader]
+
+    dd_idx, _ = DeviceData(
+        np.zeros((len(ds), 1), np.uint8), np.zeros((len(ds), 70), np.float32),
+        64,
+    ).epoch_plan(8, shuffle=True, seed=5, epoch=0, drop_remainder=True)
+    # epoch_plan rows are LOCAL rows == global ids here (indices=arange)
+    for sb, row in zip(stream_batches, dd_idx):
+        np.testing.assert_array_equal(np.asarray(sb), row.astype(np.int64))
+
+
+def test_scan_train_eval_equivalent_to_streaming(tiny_dir):
+    ds_a = ChessDataset(tiny_dir, input_size=64)
+    ds_b = ChessDataset(tiny_dir, input_size=64)
+    n = len(ds_a)
+    indices = np.arange(n)
+    bs = 8
+    cfg = _cfg(bs)
+
+    (train_step, eval_step), state_a = _setup(cfg)
+    _, state_b = _setup(cfg)  # identical init (seeded); fresh buffers
+    # (the streaming jitted step donates its state, so sharing buffers
+    # between the two paths would leave state_b deleted)
+
+    rng = jax.random.key(7)
+    from chess_vision_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(jax.devices()[:1])  # single-device: matches dd placement
+
+    # --- streaming path (packed transport == device-cache layout) ---
+    jit_train, jit_eval = jit_steps(train_step, eval_step)
+    loader = BatchLoader(ds_a, indices, bs, shuffle=True, seed=11,
+                         num_workers=1, drop_remainder=True,
+                         transport="packed")
+    state_a, m_stream = run_train_epoch(jit_train, state_a, loader, mesh, rng)
+    ev_loader = BatchLoader(ds_a, indices, bs, num_workers=1,
+                            transport="packed")
+    e_stream = run_eval_epoch(jit_eval, state_a, ev_loader, mesh)
+
+    # --- device-cache scanned path ---
+    dd = DeviceData.build(ds_b, indices, num_workers=1, progress=False)
+    state_b, m_scan = run_train_epoch_scan(
+        train_step, state_b, dd, rng, bs, seed=11, epoch=0
+    )
+    e_scan = run_eval_epoch_scan(eval_step, state_b, dd, bs)
+
+    for k in m_stream:
+        assert np.isclose(m_stream[k], m_scan[k], atol=1e-5), (
+            k, m_stream[k], m_scan[k]
+        )
+    for k in e_stream:
+        assert np.isclose(e_stream[k], e_scan[k], atol=1e-5), (
+            k, e_stream[k], e_scan[k]
+        )
+    # Param tolerance is loose on purpose: scan-body and per-step programs
+    # are different XLA compilations, and AdamW's m/(sqrt(v)+eps) update
+    # amplifies last-bit reduction differences on near-zero grads. The
+    # tight metric equality above is the real batch-for-batch evidence.
+    pa = jax.tree.leaves(state_a.params)
+    pb = jax.tree.leaves(state_b.params)
+    for a, b in zip(pa, pb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_eval_scan_padded_tail_counts(tiny_dir):
+    """20 samples, batch 8 -> 3 eval chunks with a 4-row padded tail;
+    metric n must count exactly 20."""
+    ds = ChessDataset(tiny_dir, input_size=64)
+    cfg = _cfg(8)
+    (train_step, eval_step), state = _setup(cfg)
+    dd = DeviceData.build(ds, np.arange(len(ds)), num_workers=1,
+                          progress=False)
+    idxs, mask = dd.epoch_plan(8, shuffle=False)
+    assert idxs.shape == (3, 8)
+    assert mask.sum() == 20
+    metrics = run_eval_epoch_scan(eval_step, state, dd, 8)
+    assert 0.0 <= metrics["square_acc"] <= 1.0

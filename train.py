@@ -24,7 +24,14 @@ from chess_vision_tpu.config import apply_overrides, get_data_config, load_confi
 from chess_vision_tpu.data import BatchLoader, ChessDataset, seeded_split
 from chess_vision_tpu.models import build_model, param_count
 from chess_vision_tpu.parallel.mesh import make_mesh, param_sharding, replicated
-from chess_vision_tpu.train.loop import jit_steps, make_steps, run_eval_epoch, run_train_epoch
+from chess_vision_tpu.train.loop import (
+    jit_steps,
+    make_steps,
+    run_eval_epoch,
+    run_eval_epoch_scan,
+    run_train_epoch,
+    run_train_epoch_scan,
+)
 from chess_vision_tpu.train.state import compute_class_weights, create_train_state
 from chess_vision_tpu.utils.checkpoint import (
     load_checkpoint,
@@ -142,6 +149,7 @@ def main():
         raise ValueError("Not enough training samples for one batch")
 
     ood_loader = None
+    ood_dataset = None
     ood_dir = cfg["data"].get("ood_val_dir")
     if ood_dir and os.path.isdir(ood_dir):
         ood_dataset = ChessDataset(
@@ -154,6 +162,35 @@ def main():
             num_workers=num_workers, transport=transport,
         )
         print(f"OOD val: {len(ood_dataset)} images from {ood_dir}")
+
+    # --- Device-resident dataset mode (data_device.py) ---
+    # When the whole corpus fits in HBM next to the train state, upload it
+    # once and run scanned epochs with on-device batch gathers: no per-step
+    # H2D traffic. Single-device only (multi-chip keeps the streaming +
+    # mesh-sharded path). data.device_cache: auto (default) | true | false.
+    from chess_vision_tpu.data_device import DeviceData
+
+    dc_flag = cfg["data"].get("device_cache", "auto")
+    dc_budget = float(cfg["data"].get("device_cache_budget_gb", 6.0))
+    est = DeviceData.nbytes_estimate(
+        len(dataset) + (len(ood_dataset) if ood_dataset else 0), input_size
+    )
+    # auto only engages for the ycbcr-plane transports: the cache stores
+    # 4:2:0 planes, so silently switching an exact-RGB run would change
+    # input numerics; say device_cache=true to force it anyway.
+    use_device_cache = (
+        dc_flag is True
+        or (
+            dc_flag == "auto"
+            and n_dev == 1
+            and transport in ("ycbcr420", "packed")
+            and est <= dc_budget * 2**30
+        )
+    ) and n_dev == 1
+    train_dd = val_dd = ood_dd = None
+    if use_device_cache:
+        print(f"Device cache: on ({est / 2**30:.1f} GB est.) — "
+              "uploading dataset to HBM once; scanned epochs")
 
     # --- Class weights ---
     class_weights = None
@@ -205,8 +242,21 @@ def main():
     train_step, eval_step = make_steps(
         model, cfg, class_weights, data_cfg["mean"], data_cfg["std"]
     )
-    train_step, eval_step = jit_steps(train_step, eval_step)
+    if not use_device_cache:
+        # streaming path jits the per-batch steps; the device-cache path
+        # scans the pure steps inside its own jitted chunk programs
+        train_step, eval_step = jit_steps(train_step, eval_step)
     base_rng = jax.random.key(args.seed)
+
+    if use_device_cache:
+        train_dd = DeviceData.build(dataset, train_idx,
+                                    num_workers=num_workers)
+        val_dd = DeviceData.build(dataset, val_idx, num_workers=num_workers)
+        if ood_dataset is not None:
+            ood_dd = DeviceData.build(
+                ood_dataset, np.arange(len(ood_dataset)),
+                num_workers=num_workers,
+            )
 
     # --- Logging / checkpointing ---
     from datetime import datetime
@@ -243,24 +293,42 @@ def main():
                 print(f"profiler unavailable: {e}")
                 profiling = False
 
-        state, train_metrics = run_train_epoch(
-            train_step, state, train_loader, mesh, base_rng,
-            step_log=logger.log_step, schedule=schedule,
-            profile_stop_after=args.profile_steps if profiling else None,
-        )
+        if use_device_cache:
+            state, train_metrics = run_train_epoch_scan(
+                train_step, state, train_dd, base_rng, batch_size,
+                seed=args.seed, epoch=epoch,
+                step_log=logger.log_step, schedule=schedule,
+            )
+        else:
+            state, train_metrics = run_train_epoch(
+                train_step, state, train_loader, mesh, base_rng,
+                step_log=logger.log_step, schedule=schedule,
+                profile_stop_after=args.profile_steps if profiling else None,
+            )
+        train_elapsed = time.time() - t0
         if profiling:
             try:
                 jax.profiler.stop_trace()
                 print(f"profiler trace written to {tb_dir}")
             except Exception:
                 pass
-        val_metrics = run_eval_epoch(eval_step, state, val_loader, mesh)
-        ood_metrics = (
-            run_eval_epoch(eval_step, state, ood_loader, mesh)
-            if ood_loader is not None else None
-        )
+        if use_device_cache:
+            val_metrics = run_eval_epoch_scan(
+                eval_step, state, val_dd, batch_size
+            )
+            ood_metrics = (
+                run_eval_epoch_scan(eval_step, state, ood_dd, batch_size)
+                if ood_dd is not None else None
+            )
+        else:
+            val_metrics = run_eval_epoch(eval_step, state, val_loader, mesh)
+            ood_metrics = (
+                run_eval_epoch(eval_step, state, ood_loader, mesh)
+                if ood_loader is not None else None
+            )
 
         elapsed = time.time() - t0
+        train_imgs = steps_per_epoch * batch_size
         lr = float(schedule(int(state.step)))
         logger.flush_steps()
 
@@ -277,7 +345,8 @@ def main():
                 f"sq_acc: {ood_metrics['square_acc']:.4f}, "
                 f"board_acc: {ood_metrics['board_acc']:.4f}"
             )
-        print(f"  LR: {lr:.2e} | Time: {elapsed:.1f}s")
+        print(f"  LR: {lr:.2e} | Time: {elapsed:.1f}s "
+              f"({train_imgs / max(train_elapsed, 1e-9):.0f} train img/s)")
 
         logger.log_epoch("train", train_metrics, epoch)
         logger.log_epoch("val", val_metrics, epoch)
