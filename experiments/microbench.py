@@ -140,6 +140,92 @@ def bench_vit():
               f"({fl / dt / 1e12:.1f} TFLOP/s-equiv)", flush=True)
 
 
+def bench_kernels():
+    """Per-op decomposition of the fused int8 serving path at ViT-B shapes:
+    each Pallas kernel timed in its own chained fori_loop. Effective rates
+    count the kernel's matmul FLOPs (epilogue work rides along free-of-FLOPs),
+    so they are comparable to the matmul sweep."""
+    import jax
+    import jax.numpy as jnp
+
+    from chess_vision_tpu.ops.attention import fused_qkv_attention_quant
+    from chess_vision_tpu.ops.int8_matmul import (
+        int8_matmul_gelu_quant,
+        int8_matmul_res_ln_quant,
+    )
+    from chess_vision_tpu.ops.quant import fused_rowquant
+
+    B, N, D = (int(sys.argv[2]) if len(sys.argv) > 2 else 512), 257, 768
+    rng = np.random.default_rng(0)
+    xq = jnp.asarray(rng.integers(-127, 128, (B, N, D)), jnp.int8)
+    xs = jnp.asarray(rng.random((B, N, 1)), jnp.float32) * 0.01
+    xb = jnp.asarray(rng.normal(size=(B, N, D)), jnp.bfloat16)
+    g = jnp.ones((D,), jnp.float32)
+    b2 = jnp.zeros((D,), jnp.float32)
+
+    def timed(name, make_loop, flops, iters=8):
+        loop = jax.jit(make_loop)
+        _sync(loop())
+        t0 = time.time()
+        _sync(loop())
+        dt = time.time() - t0
+        print(f"{name}: {flops * iters / dt / 1e12:.1f} T/s-equiv "
+              f"({dt / iters * 1e3:.1f} ms/call)", flush=True)
+
+    iters = 8
+
+    def mk_rowquant():
+        def body(_, c):
+            q, s = fused_rowquant(xb + c, "ln", g, b2)
+            return (q[0, 0, 0].astype(jnp.bfloat16)) * 0
+
+        return jax.lax.fori_loop(0, iters, body, jnp.bfloat16(0))
+
+    # rowquant does no matmul: report elementwise bytes/s as T/s of HBM reads
+    timed("fused_rowquant(ln) bytes", mk_rowquant, B * N * D * 3, iters)
+
+    wq_proj = jnp.asarray(rng.integers(-127, 128, (D, D)), jnp.int8)
+    ws = jnp.ones((D,), jnp.float32) * 0.01
+    bias = jnp.zeros((D,), jnp.float32)
+
+    def mk_proj():
+        def body(_, c):
+            x, hq, hs = int8_matmul_res_ln_quant(
+                xq, xs + c, wq_proj, ws, bias, xb, g, b2)
+            return (hs[0, 0, 0] * 0).astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    timed("int8_matmul_res_ln_quant (proj 768->768)", mk_proj,
+          2 * B * N * D * D, iters)
+
+    wq_fc1 = jnp.asarray(rng.integers(-127, 128, (D, 4 * D)), jnp.int8)
+    ws1 = jnp.ones((4 * D,), jnp.float32) * 0.01
+    b1 = jnp.zeros((4 * D,), jnp.float32)
+
+    def mk_fc1():
+        def body(_, c):
+            q, s = int8_matmul_gelu_quant(xq, xs + c, wq_fc1, ws1, b1)
+            return (s[0, 0, 0] * 0).astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    timed("int8_matmul_gelu_quant (fc1 768->3072)", mk_fc1,
+          2 * B * N * D * 4 * D, iters)
+
+    qkv = jnp.asarray(rng.normal(size=(B, N, 3 * D)), jnp.bfloat16)
+
+    def mk_attn():
+        def body(_, c):
+            aq, s = fused_qkv_attention_quant(qkv + c, 12)
+            return (s[0, 0, 0] * 0).astype(jnp.bfloat16)
+
+        return jax.lax.fori_loop(0, iters, body, jnp.bfloat16(0))
+
+    timed("fused_qkv_attention_quant", mk_attn,
+          2 * 2 * B * N * N * D, iters)
+
+
 if __name__ == "__main__":
     from chess_vision_tpu.utils.platform import apply_platform_env
 
@@ -149,3 +235,5 @@ if __name__ == "__main__":
         bench_matmul()
     elif what == "vit":
         bench_vit()
+    elif what == "kernels":
+        bench_kernels()
