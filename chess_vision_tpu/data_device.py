@@ -194,6 +194,48 @@ class DeviceData:
         return idxs, mask
 
 
+class DeviceBatchLoader:
+    """BatchLoader-compatible iterator over a DeviceData split: every batch
+    is gathered ON DEVICE by a tiny jitted program (the only H2D per step is
+    the (B,) index row). Fallback for when the fully-scanned epoch runners
+    are unsuitable (e.g. debugging, or backends where one long scan program
+    is fragile); plugs into the regular run_train_epoch/run_eval_epoch.
+
+    Mirrors BatchLoader semantics: shuffle order default_rng(seed+epoch)
+    with an internal epoch counter, drop_remainder, padded+masked tails.
+    """
+
+    def __init__(self, device_data: DeviceData, batch_size: int,
+                 shuffle: bool = False, seed: int = 0,
+                 drop_remainder: bool = False):
+        self.dd = device_data
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_remainder = drop_remainder
+        self.epoch = 0
+        self._gather = None
+
+    def __len__(self) -> int:
+        n = self.dd.n
+        return (n // self.batch_size if self.drop_remainder
+                else -(-n // self.batch_size))
+
+    def __iter__(self):
+        import jax
+
+        if self._gather is None:
+            self._gather = jax.jit(gather_batch)
+        idxs, mask = self.dd.epoch_plan(
+            self.batch_size, shuffle=self.shuffle, seed=self.seed,
+            epoch=self.epoch, drop_remainder=self.drop_remainder,
+        )
+        self.epoch += 1
+        for i in range(idxs.shape[0]):
+            yield self._gather(self.dd.pixels, self.dd.labels,
+                               idxs[i], mask[i])
+
+
 def gather_batch(pixels, labels, idx, mask):
     """Traced helper: assemble the packed-transport batch dict for `idx`
     rows entirely on device. Output matches BatchLoader's "packed"

@@ -64,6 +64,10 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     rep = replicated(mesh)
 
     def put(x):
+        if isinstance(x, jax.Array):
+            # already on device (e.g. data_device.DeviceBatchLoader) —
+            # np.asarray here would silently round-trip it through host
+            return x if x.ndim else jax.device_put(x, rep)
         x = np.asarray(x)
         if x.ndim == 0:
             return jax.device_put(x, rep)

@@ -188,9 +188,14 @@ def main():
         )
     ) and n_dev == 1
     train_dd = val_dd = ood_dd = None
+    # scanned epochs (default) vs per-step device-gathered batches through
+    # the regular loop — the latter still has zero per-step H2D payload but
+    # dispatches each step as its own program (debug / fragile-backend knob)
+    dc_scan = bool(cfg["data"].get("device_cache_scan", True))
     if use_device_cache:
         print(f"Device cache: on ({est / 2**30:.1f} GB est.) — "
-              "uploading dataset to HBM once; scanned epochs")
+              "uploading dataset to HBM once; "
+              + ("scanned epochs" if dc_scan else "per-step gathers"))
 
     # --- Class weights ---
     class_weights = None
@@ -242,13 +247,15 @@ def main():
     train_step, eval_step = make_steps(
         model, cfg, class_weights, data_cfg["mean"], data_cfg["std"]
     )
-    if not use_device_cache:
-        # streaming path jits the per-batch steps; the device-cache path
-        # scans the pure steps inside its own jitted chunk programs
+    if not (use_device_cache and dc_scan):
+        # streaming / per-step paths jit the per-batch steps; the scanned
+        # device-cache path scans the pure steps inside its own programs
         train_step, eval_step = jit_steps(train_step, eval_step)
     base_rng = jax.random.key(args.seed)
 
     if use_device_cache:
+        from chess_vision_tpu.data_device import DeviceBatchLoader
+
         train_dd = DeviceData.build(dataset, train_idx,
                                     num_workers=num_workers)
         val_dd = DeviceData.build(dataset, val_idx, num_workers=num_workers)
@@ -257,6 +264,14 @@ def main():
                 ood_dataset, np.arange(len(ood_dataset)),
                 num_workers=num_workers,
             )
+        if not dc_scan:
+            train_loader = DeviceBatchLoader(
+                train_dd, batch_size, shuffle=True, seed=args.seed,
+                drop_remainder=True,
+            )
+            val_loader = DeviceBatchLoader(val_dd, batch_size)
+            ood_loader = (DeviceBatchLoader(ood_dd, batch_size)
+                          if ood_dd is not None else None)
 
     # --- Logging / checkpointing ---
     from datetime import datetime
@@ -293,7 +308,7 @@ def main():
                 print(f"profiler unavailable: {e}")
                 profiling = False
 
-        if use_device_cache:
+        if use_device_cache and dc_scan:
             state, train_metrics = run_train_epoch_scan(
                 train_step, state, train_dd, base_rng, batch_size,
                 seed=args.seed, epoch=epoch,
@@ -312,7 +327,7 @@ def main():
                 print(f"profiler trace written to {tb_dir}")
             except Exception:
                 pass
-        if use_device_cache:
+        if use_device_cache and dc_scan:
             val_metrics = run_eval_epoch_scan(
                 eval_step, state, val_dd, batch_size
             )
