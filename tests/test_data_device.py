@@ -160,3 +160,26 @@ def test_eval_scan_padded_tail_counts(tiny_dir):
     assert mask.sum() == 20
     metrics = run_eval_epoch_scan(eval_step, state, dd, 8)
     assert 0.0 <= metrics["square_acc"] <= 1.0
+
+
+def test_device_batch_loader_matches_scan(tiny_dir):
+    """Per-step gather fallback == scanned path metrics on an eval epoch."""
+    from chess_vision_tpu.data_device import DeviceBatchLoader
+    from chess_vision_tpu.parallel.mesh import make_mesh
+
+    ds = ChessDataset(tiny_dir, input_size=64)
+    cfg = _cfg(8)
+    (train_step, eval_step), state = _setup(cfg)
+    dd = DeviceData.build(ds, np.arange(len(ds)), num_workers=1,
+                          progress=False)
+
+    e_scan = run_eval_epoch_scan(eval_step, state, dd, 8)
+
+    _, jit_eval = jit_steps(train_step, eval_step)
+    mesh = make_mesh(jax.devices()[:1])
+    loader = DeviceBatchLoader(dd, 8)
+    e_loop = run_eval_epoch(jit_eval, state, loader, mesh)
+    for k in e_scan:
+        assert np.isclose(e_scan[k], e_loop[k], atol=1e-5), (
+            k, e_scan[k], e_loop[k]
+        )
