@@ -170,7 +170,11 @@ def main():
     # mesh-sharded path). data.device_cache: auto (default) | true | false.
     from chess_vision_tpu.data_device import DeviceData
 
+    # these keys are absent from the reference YAML schema, so --set passes
+    # them through as strings (None-typed coercion) — normalize explicitly
     dc_flag = cfg["data"].get("device_cache", "auto")
+    if isinstance(dc_flag, str) and dc_flag.lower() != "auto":
+        dc_flag = dc_flag.lower() in ("true", "1", "yes")
     dc_budget = float(cfg["data"].get("device_cache_budget_gb", 6.0))
     est = DeviceData.nbytes_estimate(
         len(dataset) + (len(ood_dataset) if ood_dataset else 0), input_size
@@ -191,7 +195,9 @@ def main():
     # scanned epochs (default) vs per-step device-gathered batches through
     # the regular loop — the latter still has zero per-step H2D payload but
     # dispatches each step as its own program (debug / fragile-backend knob)
-    dc_scan = bool(cfg["data"].get("device_cache_scan", True))
+    dc_scan = cfg["data"].get("device_cache_scan", True)
+    if not isinstance(dc_scan, bool):
+        dc_scan = str(dc_scan).lower() in ("true", "1", "yes")
     if use_device_cache:
         print(f"Device cache: on ({est / 2**30:.1f} GB est.) — "
               "uploading dataset to HBM once; "
