@@ -195,7 +195,13 @@ def main():
     # scanned epochs (default) vs per-step device-gathered batches through
     # the regular loop — the latter still has zero per-step H2D payload but
     # dispatches each step as its own program (debug / fragile-backend knob)
-    dc_scan = cfg["data"].get("device_cache_scan", True)
+    # Default: per-step gathers. The fully-scanned epochs are opt-in — they
+    # are equivalence-tested on CPU meshes, but on the tunnelled v5e the
+    # scanned train program crashed the TPU worker ("kernel fault", twice,
+    # b=256 and b=128; suspected Pallas-attention-inside-scan miscompile),
+    # while the identical per-step programs run fine. Revisit the default
+    # once a scanned run survives on real hardware.
+    dc_scan = cfg["data"].get("device_cache_scan", False)
     if not isinstance(dc_scan, bool):
         dc_scan = str(dc_scan).lower() in ("true", "1", "yes")
     if use_device_cache:
