@@ -21,7 +21,12 @@ from chess_vision_tpu.augment import (
     preprocess_train_batch,
 )
 from chess_vision_tpu.train.losses import total_loss
-from chess_vision_tpu.train.metrics import accumulate, batch_metric_sums, finalize
+from chess_vision_tpu.train.metrics import (
+    accumulate,
+    batch_metric_sums,
+    finalize,
+    zero_metric_sums,
+)
 from chess_vision_tpu.parallel.mesh import shard_batch
 
 
@@ -271,6 +276,119 @@ def run_train_epoch_scan(
                 step_log(g, float(l), float(p), lr)
                 g += 1
     return state, finalize(total)
+
+
+def make_gathered_steps(train_step, eval_step):
+    """Fused per-step programs for the device-cache path: one jitted
+    dispatch does the batch gather + train/eval step + running metric
+    accumulation, with the state AND totals donated. Over a high-latency
+    link every extra per-step program (a separate gather, 8 tiny metric
+    adds, a blocking scalar read) costs a round-trip — measured 10s/step
+    vs ~0.4s of compute; this folds them all into one dispatch.
+
+    gtrain(state, totals, idx, mask, rng, pixels, labels)
+        -> (state, totals, step_loss, step_piece_loss)
+    geval(params, batch_stats, totals, idx, mask, pixels, labels) -> totals
+    totals starts from metrics.zero_metric_sums() (a fixed dict, so the
+    program traces exactly once).
+    """
+    import functools
+
+    from chess_vision_tpu.data_device import gather_batch
+
+    def _acc(totals, sums):
+        return {k: totals[k] + v for k, v in sums.items()
+                if not k.startswith("step_")}
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def gtrain(state, totals, i, idxs_all, mask_all, rng, pixels, labels):
+        # row select happens in-program (i is a traced scalar): the whole
+        # epoch plan uploads once, so a step's only fresh input is `i`
+        batch = gather_batch(pixels, labels, idxs_all[i], mask_all[i])
+        state, sums = train_step(state, batch, rng)
+        return (state, _acc(totals, sums),
+                sums["step_loss"], sums["step_piece_loss"])
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def geval(params, batch_stats, totals, i, idxs_all, mask_all,
+              pixels, labels):
+        sums = eval_step(params, batch_stats, gather_batch(
+            pixels, labels, idxs_all[i], mask_all[i]))
+        return _acc(totals, sums)
+
+    return gtrain, geval
+
+
+def run_train_epoch_gathered(
+    gtrain,
+    state,
+    device_data,
+    base_rng,
+    batch_size: int,
+    seed: int = 0,
+    epoch: int = 0,
+    step_log: Callable | None = None,
+    schedule=None,
+    sync_every: int = 16,
+):
+    """Device-cache epoch via fused per-step programs (make_gathered_steps).
+
+    One async dispatch per step; a 4-byte D2H read every `sync_every` steps
+    bounds the relay queue (payloads are only the (B,) index rows, so a
+    deeper window than the streaming path is safe). Per-step losses are
+    stacked device-side and materialized once at epoch end for TB logging.
+    """
+    import sys
+    import time as _time
+
+    idxs, msk = device_data.epoch_plan(
+        batch_size, shuffle=True, seed=seed, epoch=epoch, drop_remainder=True
+    )
+    steps = idxs.shape[0]
+    if steps == 0:
+        raise ValueError("Not enough samples for one batch")
+    step0 = int(state.step)
+    totals = zero_metric_sums()
+    losses = []
+    idxs_dev = jnp.asarray(idxs)   # whole epoch plan: one upload
+    msk_dev = jnp.asarray(msk)
+    t0 = _time.time()
+    for i in range(steps):
+        state, totals, sl, sp = gtrain(
+            state, totals, np.int32(i), idxs_dev, msk_dev,
+            base_rng, device_data.pixels, device_data.labels,
+        )
+        losses.append((sl, sp))
+        if sync_every and (i + 1) % sync_every == 0:
+            float(sl)  # D2H read: real flow-control sync
+        if i == 0 or (i + 1) % 50 == 0:
+            rate = (i + 1) / max(_time.time() - t0, 1e-9)
+            print(f"    step {i + 1}/{steps} ({rate:.2f} it/s)",
+                  file=sys.stderr, flush=True)
+    if step_log is not None:
+        sls = np.asarray(jnp.stack([l for l, _ in losses]))
+        sps = np.asarray(jnp.stack([p for _, p in losses]))
+        for j in range(steps):
+            g = step0 + j
+            lr = float(schedule(g)) if schedule is not None else None
+            step_log(g, float(sls[j]), float(sps[j]), lr)
+    return state, finalize(totals)
+
+
+def run_eval_epoch_gathered(geval, state, device_data, batch_size: int,
+                            sync_every: int = 16):
+    idxs, msk = device_data.epoch_plan(batch_size, shuffle=False)
+    totals = zero_metric_sums()
+    idxs_dev = jnp.asarray(idxs)
+    msk_dev = jnp.asarray(msk)
+    for i in range(idxs.shape[0]):
+        totals = geval(
+            state.params, state.batch_stats, totals, np.int32(i),
+            idxs_dev, msk_dev, device_data.pixels, device_data.labels,
+        )
+        if sync_every and (i + 1) % sync_every == 0:
+            float(totals["loss_sum"])
+    return finalize(totals)
 
 
 def run_eval_epoch_scan(

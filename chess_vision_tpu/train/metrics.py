@@ -51,6 +51,20 @@ def batch_metric_sums(outputs: dict, batch: dict, loss: jnp.ndarray) -> dict:
     }
 
 
+METRIC_SUM_KEYS = (
+    "loss_sum", "squares_correct", "boards_correct", "turn_correct",
+    "castling_rights_correct", "castling_all_correct", "full_fen_correct",
+    "n",
+)
+
+
+def zero_metric_sums():
+    """Device-friendly zero totals (same keys as batch_metric_sums minus
+    the step_* extras) — lets carried-totals programs trace once instead
+    of once for None and once for dict."""
+    return {k: jnp.zeros((), jnp.float32) for k in METRIC_SUM_KEYS}
+
+
 def accumulate(total: dict | None, sums: dict) -> dict:
     if total is None:
         return dict(sums)

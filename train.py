@@ -28,8 +28,10 @@ from chess_vision_tpu.train.loop import (
     jit_steps,
     make_steps,
     run_eval_epoch,
+    run_eval_epoch_gathered,
     run_eval_epoch_scan,
     run_train_epoch,
+    run_train_epoch_gathered,
     run_train_epoch_scan,
 )
 from chess_vision_tpu.train.state import compute_class_weights, create_train_state
@@ -259,15 +261,18 @@ def main():
     train_step, eval_step = make_steps(
         model, cfg, class_weights, data_cfg["mean"], data_cfg["std"]
     )
-    if not (use_device_cache and dc_scan):
-        # streaming / per-step paths jit the per-batch steps; the scanned
-        # device-cache path scans the pure steps inside its own programs
+    gtrain = geval = None
+    if not use_device_cache:
+        # streaming path jits the per-batch steps; device-cache paths build
+        # their own fused programs (scan chunks or gathered per-step)
         train_step, eval_step = jit_steps(train_step, eval_step)
+    elif not dc_scan:
+        from chess_vision_tpu.train.loop import make_gathered_steps
+
+        gtrain, geval = make_gathered_steps(train_step, eval_step)
     base_rng = jax.random.key(args.seed)
 
     if use_device_cache:
-        from chess_vision_tpu.data_device import DeviceBatchLoader
-
         train_dd = DeviceData.build(dataset, train_idx,
                                     num_workers=num_workers)
         val_dd = DeviceData.build(dataset, val_idx, num_workers=num_workers)
@@ -276,14 +281,6 @@ def main():
                 ood_dataset, np.arange(len(ood_dataset)),
                 num_workers=num_workers,
             )
-        if not dc_scan:
-            train_loader = DeviceBatchLoader(
-                train_dd, batch_size, shuffle=True, seed=args.seed,
-                drop_remainder=True,
-            )
-            val_loader = DeviceBatchLoader(val_dd, batch_size)
-            ood_loader = (DeviceBatchLoader(ood_dd, batch_size)
-                          if ood_dd is not None else None)
 
     # --- Logging / checkpointing ---
     from datetime import datetime
@@ -326,6 +323,12 @@ def main():
                 seed=args.seed, epoch=epoch,
                 step_log=logger.log_step, schedule=schedule,
             )
+        elif use_device_cache:
+            state, train_metrics = run_train_epoch_gathered(
+                gtrain, state, train_dd, base_rng, batch_size,
+                seed=args.seed, epoch=epoch,
+                step_log=logger.log_step, schedule=schedule,
+            )
         else:
             state, train_metrics = run_train_epoch(
                 train_step, state, train_loader, mesh, base_rng,
@@ -345,6 +348,14 @@ def main():
             )
             ood_metrics = (
                 run_eval_epoch_scan(eval_step, state, ood_dd, batch_size)
+                if ood_dd is not None else None
+            )
+        elif use_device_cache:
+            val_metrics = run_eval_epoch_gathered(
+                geval, state, val_dd, batch_size
+            )
+            ood_metrics = (
+                run_eval_epoch_gathered(geval, state, ood_dd, batch_size)
                 if ood_dd is not None else None
             )
         else:
