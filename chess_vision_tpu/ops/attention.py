@@ -218,7 +218,13 @@ def fused_qkv_attention(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
 
     Dispatches to the Pallas kernel on TPU (forward; XLA-recompute backward)
     and to the plain XLA math elsewhere (CPU test meshes).
+    CHESS_VISION_NO_PALLAS_ATTN=1 forces the XLA math on TPU too — isolation
+    knob for backend miscompiles (the scanned train program faulted the
+    tunnelled v5e worker with the Pallas kernel in the scan body).
     """
-    if jax.default_backend() != "tpu":
+    import os
+
+    if jax.default_backend() != "tpu" or os.environ.get(
+            "CHESS_VISION_NO_PALLAS_ATTN") == "1":
         return _reference_attention(qkv, num_heads)
     return _tpu_attention(qkv, num_heads)
