@@ -123,13 +123,28 @@ def _gaussian_blur(img, sigma, size: int = 5):
     return out[0]
 
 
-def _color_jitter(img, key):
+def _color_jitter_params(key):
+    """Per-image factor/order draws — EXACTLY the splits and distributions
+    of the original per-image implementation (key-compatible)."""
     kb, kc, ks, kh, kperm = jax.random.split(key, 5)
     fb = jax.random.uniform(kb, (), minval=_BRIGHTNESS[0], maxval=_BRIGHTNESS[1])
     fc = jax.random.uniform(kc, (), minval=_CONTRAST[0], maxval=_CONTRAST[1])
     fs = jax.random.uniform(ks, (), minval=_SATURATION[0], maxval=_SATURATION[1])
     fh = jax.random.uniform(kh, (), minval=_HUE[0], maxval=_HUE[1])
+    which = jax.random.randint(kperm, (), 0, len(_PERMS))
+    return fb, fc, fs, fh, which
 
+
+def _color_jitter(img, key):
+    """Single-image color jitter (random op order) — reference semantics.
+
+    NOTE: do not vmap this directly in hot paths — a vmapped lax.switch
+    executes ALL 24 order-branches per image (measured as the dominant cost
+    of the train step and the largest HLO temps). augment_batch uses the
+    position-wise batched formulation below; this stays as the readable
+    single-image oracle that tests compare against.
+    """
+    fb, fc, fs, fh, which = _color_jitter_params(key)
     ops = (
         lambda im: _adjust_brightness(im, fb),
         lambda im: _adjust_contrast(im, fc),
@@ -145,8 +160,48 @@ def _color_jitter(img, key):
         return branch
 
     branches = [make_branch(p) for p in _PERMS]
-    which = jax.random.randint(kperm, (), 0, len(_PERMS))
     return jax.lax.switch(which, branches, img)
+
+
+def _color_jitter_batch(imgs, keys):
+    """Batched random-order color jitter: for each of the 4 order positions,
+    apply all 4 adjustments to the whole batch and per-image select the one
+    this image's permutation puts there. 16 batched passes total instead of
+    24 branches x 4 ops per image; identical math AND identical per-image
+    RNG draws as _color_jitter (same key splits), so results match the
+    single-image oracle bitwise up to op-reassociation."""
+    fb, fc, fs, fh, which = jax.vmap(_color_jitter_params)(keys)
+    order = jnp.take(
+        jnp.asarray(np.asarray(_PERMS, np.int32)), which, axis=0
+    )  # (B, 4)
+    c1 = lambda f: f[:, None, None, None]  # noqa: E731  (B,)->(B,1,1,1)
+
+    def bright(im):
+        return jnp.clip(im * c1(fb), 0.0, 1.0)
+
+    def contrast(im):
+        g = jnp.tensordot(im, _GRAY, axes=[[-1], [0]])
+        mean = jnp.mean(g, axis=(1, 2))[:, None, None, None]
+        return jnp.clip(c1(fc) * im + (1.0 - c1(fc)) * mean, 0.0, 1.0)
+
+    def saturation(im):
+        g = jnp.tensordot(im, _GRAY, axes=[[-1], [0]])[..., None]
+        return jnp.clip(c1(fs) * im + (1.0 - c1(fs)) * g, 0.0, 1.0)
+
+    def hue(im):
+        h, s, v = _rgb_to_hsv(im)
+        return jnp.clip(
+            _hsv_to_rgb((h + fh[:, None, None]) % 1.0, s, v), 0.0, 1.0
+        )
+
+    for j in range(4):
+        opid = order[:, j][:, None, None, None]
+        b_, c_, s_, h_ = bright(imgs), contrast(imgs), saturation(imgs), hue(imgs)
+        imgs = jnp.where(
+            opid == 0, b_,
+            jnp.where(opid == 1, c_, jnp.where(opid == 2, s_, h_)),
+        )
+    return imgs
 
 
 def _channel_permutation(img, key):
@@ -162,10 +217,13 @@ def _invert(img):
     return 1.0 - img
 
 
-def _augment_one(img, key, channel_perm_p: float = 0.0, invert_p: float = 0.0):
-    """img: (H, W, 3) float32 in [0,1]."""
+def _augment_rest_one(img, key, channel_perm_p: float = 0.0,
+                      invert_p: float = 0.0):
+    """Everything after color jitter, single image; `key` is the full
+    per-image key (the jitter sub-key is consumed by _color_jitter_batch
+    with identical splitting)."""
     kj, kg_p, kb_p, kb_s, kc_p, kc, ki_p = jax.random.split(key, 7)
-    img = _color_jitter(img, kj)
+    del kj  # consumed by the batched jitter stage
     img = jnp.where(
         jax.random.uniform(kg_p) < 0.1, _grayscale(img), img
     )
@@ -183,6 +241,22 @@ def _augment_one(img, key, channel_perm_p: float = 0.0, invert_p: float = 0.0):
     return img
 
 
+def _augment_one(img, key, channel_perm_p: float = 0.0, invert_p: float = 0.0):
+    """img: (H, W, 3) float32 in [0,1]. Single-image oracle (tests); hot
+    paths use the batched pipeline in _augment_batch_impl."""
+    kj = jax.random.split(key, 7)[0]
+    img = _color_jitter(img, kj)
+    return _augment_rest_one(img, key, channel_perm_p, invert_p)
+
+
+def _augment_batch_impl(imgs, keys, channel_perm_p: float, invert_p: float):
+    kj = jax.vmap(lambda k: jax.random.split(k, 7)[0])(keys)
+    imgs = _color_jitter_batch(imgs, kj)
+    return jax.vmap(
+        lambda im, k: _augment_rest_one(im, k, channel_perm_p, invert_p)
+    )(imgs, keys)
+
+
 def augment_batch(
     images_u8: jnp.ndarray, key,
     channel_perm_p: float = 0.0, invert_p: float = 0.0,
@@ -190,9 +264,7 @@ def augment_batch(
     """(B, H, W, 3) uint8 -> augmented float32 in [0,1]."""
     imgs = images_u8.astype(jnp.float32) / 255.0
     keys = jax.random.split(key, imgs.shape[0])
-    return jax.vmap(
-        lambda im, k: _augment_one(im, k, channel_perm_p, invert_p)
-    )(imgs, keys)
+    return _augment_batch_impl(imgs, keys, channel_perm_p, invert_p)
 
 
 def normalize(images: jnp.ndarray, mean, std, dtype=jnp.float32) -> jnp.ndarray:
@@ -225,9 +297,7 @@ def preprocess_train_batch(batch, key, mean, std, dtype=jnp.float32,
     imgs = _batch_rgb01(batch)
     keys = jax.random.split(key, imgs.shape[0])
     return normalize(
-        jax.vmap(
-            lambda im, k: _augment_one(im, k, channel_perm_p, invert_p)
-        )(imgs, keys),
+        _augment_batch_impl(imgs, keys, channel_perm_p, invert_p),
         mean, std, dtype,
     )
 

@@ -97,3 +97,19 @@ def test_normalize():
     img = jnp.full((2, 4, 4, 3), 0.5)
     out = np.asarray(normalize(img, (0.5, 0.5, 0.5), (0.5, 0.5, 0.5)))
     np.testing.assert_allclose(out, 0.0)
+
+
+def test_batched_jitter_matches_single_image_oracle(rng):
+    """_augment_batch_impl (16 batched passes) must reproduce the vmapped
+    single-image pipeline (_augment_one with the 24-branch switch) — same
+    keys, same draws, same math."""
+    from chess_vision_tpu.augment import _augment_batch_impl, _augment_one
+
+    imgs = rng.integers(0, 256, (6, 32, 32, 3)).astype(np.uint8)
+    imgs = jnp.asarray(imgs, jnp.float32) / 255.0
+    keys = jax.random.split(jax.random.key(11), imgs.shape[0])
+    fast = np.asarray(_augment_batch_impl(imgs, keys, 0.0, 0.0))
+    oracle = np.asarray(
+        jax.vmap(lambda im, k: _augment_one(im, k, 0.0, 0.0))(imgs, keys)
+    )
+    np.testing.assert_allclose(fast, oracle, atol=1e-6)
