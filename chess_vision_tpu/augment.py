@@ -249,12 +249,64 @@ def _augment_one(img, key, channel_perm_p: float = 0.0, invert_p: float = 0.0):
     return _augment_rest_one(img, key, channel_perm_p, invert_p)
 
 
+def _gaussian_blur_batch(imgs, sigmas, size: int = 5):
+    """Per-image-sigma 5x5 blur for the whole batch in ONE grouped conv:
+    batch images fold into channels (feature_group_count = B*C), each group
+    convolving with its image's kernel. Replaces a vmap of B separate convs
+    (B sequential kernel launches in-program)."""
+    B, H, W, C = imgs.shape
+    pad = size // 2
+    k1 = jax.vmap(lambda s: _gaussian_kernel_1d(s, size))(sigmas)  # (B, k)
+    k2 = jnp.einsum("bi,bj->bij", k1, k1)                          # (B, k, k)
+    kernel = jnp.broadcast_to(
+        k2[:, None], (B, C, size, size)
+    ).reshape(B * C, size, size).transpose(1, 2, 0)[:, :, None, :]
+    x = jnp.pad(imgs, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                mode="reflect")
+    x = x.transpose(1, 2, 0, 3).reshape(1, H + 2 * pad, W + 2 * pad, B * C)
+    out = jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=B * C,
+    )
+    return out.reshape(H, W, B, C).transpose(2, 0, 1, 3)
+
+
+def _rest_params(key):
+    """Per-image post-jitter draws — identical splits/orders to
+    _augment_rest_one (key-compatible)."""
+    kj, kg_p, kb_p, kb_s, kc_p, kc, ki_p = jax.random.split(key, 7)
+    del kj
+    return (
+        jax.random.uniform(kg_p),
+        jax.random.uniform(kb_p),
+        jax.random.uniform(kb_s, (), minval=0.1, maxval=1.5),
+        jax.random.uniform(kc_p),
+        jax.random.permutation(kc, 3),
+        jax.random.uniform(ki_p),
+    )
+
+
 def _augment_batch_impl(imgs, keys, channel_perm_p: float, invert_p: float):
+    """Fully batched augmentation pipeline (hot path): batched color
+    jitter, then batched grayscale/blur/extras with per-image selects.
+    Bitwise-equivalent to vmap(_augment_one) — same per-image draws, same
+    op order — tested against it in tests/test_augment.py."""
     kj = jax.vmap(lambda k: jax.random.split(k, 7)[0])(keys)
     imgs = _color_jitter_batch(imgs, kj)
-    return jax.vmap(
-        lambda im, k: _augment_rest_one(im, k, channel_perm_p, invert_p)
-    )(imgs, keys)
+
+    pg, pb, sigma, pc, cperm, pi = jax.vmap(_rest_params)(keys)
+    c1 = lambda v: v[:, None, None, None]  # noqa: E731
+
+    gray = jnp.tensordot(imgs, _GRAY, axes=[[-1], [0]])[..., None]
+    imgs = jnp.where(c1(pg) < 0.1, gray * jnp.ones((3,), imgs.dtype), imgs)
+    imgs = jnp.where(c1(pb) < 0.2, _gaussian_blur_batch(imgs, sigma), imgs)
+    if channel_perm_p > 0.0:
+        permuted = jnp.take_along_axis(imgs, cperm[:, None, None, :], axis=-1)
+        imgs = jnp.where(c1(pc) < channel_perm_p, permuted, imgs)
+    if invert_p > 0.0:
+        imgs = jnp.where(c1(pi) < invert_p, 1.0 - imgs, imgs)
+    return imgs
 
 
 def augment_batch(
