@@ -144,7 +144,8 @@ def bench_kernels():
     """Per-op decomposition of the fused int8 serving path at ViT-B shapes:
     each Pallas kernel timed in its own chained fori_loop. Effective rates
     count the kernel's matmul FLOPs (epilogue work rides along free-of-FLOPs),
-    so they are comparable to the matmul sweep."""
+    so they are comparable to the matmul sweep. All tensors are jit ARGS
+    (closed-over arrays would be baked into the uploaded program: HTTP 413)."""
     import jax
     import jax.numpy as jnp
 
@@ -156,6 +157,7 @@ def bench_kernels():
     from chess_vision_tpu.ops.quant import fused_rowquant
 
     B, N, D = (int(sys.argv[2]) if len(sys.argv) > 2 else 512), 257, 768
+    iters = 8
     rng = np.random.default_rng(0)
     xq = jnp.asarray(rng.integers(-127, 128, (B, N, D)), jnp.int8)
     xs = jnp.asarray(rng.random((B, N, 1)), jnp.float32) * 0.01
@@ -163,32 +165,31 @@ def bench_kernels():
     g = jnp.ones((D,), jnp.float32)
     b2 = jnp.zeros((D,), jnp.float32)
 
-    def timed(name, make_loop, flops, iters=8):
-        loop = jax.jit(make_loop)
-        _sync(loop())
+    def timed(name, loop_fn, args, flops):
+        loop = jax.jit(loop_fn)
+        _sync(loop(*args))
         t0 = time.time()
-        _sync(loop())
+        _sync(loop(*args))
         dt = time.time() - t0
         print(f"{name}: {flops * iters / dt / 1e12:.1f} T/s-equiv "
               f"({dt / iters * 1e3:.1f} ms/call)", flush=True)
 
-    iters = 8
-
-    def mk_rowquant():
+    def loop_rowquant(xb, g, b2):
         def body(_, c):
             q, s = fused_rowquant(xb + c, "ln", g, b2)
             return (q[0, 0, 0].astype(jnp.bfloat16)) * 0
 
         return jax.lax.fori_loop(0, iters, body, jnp.bfloat16(0))
 
-    # rowquant does no matmul: report elementwise bytes/s as T/s of HBM reads
-    timed("fused_rowquant(ln) bytes", mk_rowquant, B * N * D * 3, iters)
+    # rowquant does no matmul: bytes moved per call, reported as T/s
+    timed("fused_rowquant(ln) bytes", loop_rowquant, (xb, g, b2),
+          B * N * D * 3)
 
     wq_proj = jnp.asarray(rng.integers(-127, 128, (D, D)), jnp.int8)
     ws = jnp.ones((D,), jnp.float32) * 0.01
     bias = jnp.zeros((D,), jnp.float32)
 
-    def mk_proj():
+    def loop_proj(xq, xs, wq_proj, ws, bias, xb, g, b2):
         def body(_, c):
             x, hq, hs = int8_matmul_res_ln_quant(
                 xq, xs + c, wq_proj, ws, bias, xb, g, b2)
@@ -196,34 +197,34 @@ def bench_kernels():
 
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
-    timed("int8_matmul_res_ln_quant (proj 768->768)", mk_proj,
-          2 * B * N * D * D, iters)
+    timed("int8_matmul_res_ln_quant (proj 768->768)", loop_proj,
+          (xq, xs, wq_proj, ws, bias, xb, g, b2), 2 * B * N * D * D)
 
     wq_fc1 = jnp.asarray(rng.integers(-127, 128, (D, 4 * D)), jnp.int8)
     ws1 = jnp.ones((4 * D,), jnp.float32) * 0.01
     b1 = jnp.zeros((4 * D,), jnp.float32)
 
-    def mk_fc1():
+    def loop_fc1(xq, xs, wq_fc1, ws1, b1):
         def body(_, c):
             q, s = int8_matmul_gelu_quant(xq, xs + c, wq_fc1, ws1, b1)
             return (s[0, 0, 0] * 0).astype(jnp.float32)
 
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
-    timed("int8_matmul_gelu_quant (fc1 768->3072)", mk_fc1,
-          2 * B * N * D * 4 * D, iters)
+    timed("int8_matmul_gelu_quant (fc1 768->3072)", loop_fc1,
+          (xq, xs, wq_fc1, ws1, b1), 2 * B * N * D * 4 * D)
 
     qkv = jnp.asarray(rng.normal(size=(B, N, 3 * D)), jnp.bfloat16)
 
-    def mk_attn():
+    def loop_attn(qkv):
         def body(_, c):
             aq, s = fused_qkv_attention_quant(qkv + c, 12)
             return (s[0, 0, 0] * 0).astype(jnp.bfloat16)
 
         return jax.lax.fori_loop(0, iters, body, jnp.bfloat16(0))
 
-    timed("fused_qkv_attention_quant", mk_attn,
-          2 * 2 * B * N * N * D, iters)
+    timed("fused_qkv_attention_quant", loop_attn, (qkv,),
+          2 * 2 * B * N * N * D)
 
 
 if __name__ == "__main__":
