@@ -12,14 +12,21 @@ Two numbers are measured every run:
     metric: reproducible across runs and representative of per-chip serving
     capability on production hardware.
   - end-to-end (pipelined H2D through this environment's relay tunnel) —
-    recorded alongside; the tunnel's 50-700 MB/s bandwidth swings make it
-    noisy run-to-run (round-1: 543 vs 282 on identical code) and it is
-    ~100x below a real PCIe/ICI ingest path, so it measures the dev tunnel,
-    not the chip. Use --end-to-end to make it the headline value anyway.
+    recorded alongside; the tunnel's 1-700 MB/s bandwidth swings make it
+    noisy run-to-run and ~100x below a real PCIe/ICI ingest path, so it
+    measures the dev tunnel, not the chip. Use --end-to-end to make it the
+    headline value anyway.
+
+Robustness contract (the driver runs this under `timeout` and parses stdout):
+ONE JSON line is ALWAYS printed — on success, on any exception, on SIGTERM/
+SIGINT, and when the internal --budget expires while the backend is wedged.
+The measurement runs on a worker thread; the main thread is a supervisor that
+heartbeats the current stage to stderr and emits whatever has been measured so
+far (partial compute-bound chunks included) the moment anything goes wrong.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "boards/s", "vs_baseline": N/5000,
-   "compute_bound": M, "end_to_end": K}
+   "compute_bound": M, "end_to_end": K, "stage": ..., ["error": ...]}
 vs_baseline is relative to the 5,000 boards/sec/chip target in BASELINE.json
 (the reference publishes no inference throughput; its training throughput was
 ~614 img/s on one CUDA GPU, BASELINE.md).
@@ -28,27 +35,88 @@ vs_baseline is relative to the 5,000 boards/sec/chip target in BASELINE.json
 from __future__ import annotations
 
 import json
+import os
+import signal
 import sys
+import threading
 import time
 
 import numpy as np
 
 
-def main():
+def arg(flag: str, default, cast):
+    if flag in sys.argv:
+        return cast(sys.argv[sys.argv.index(flag) + 1])
+    return default
+
+
+STATE = {
+    "stage": "start",
+    "compute_bound": None,
+    "end_to_end": None,
+    "error": None,
+    "n_dev": 1,
+    "done": False,
+}
+_EMITTED = threading.Lock()
+
+
+def emit_and_exit(code: int = 0) -> None:
+    """Print the single JSON result line (exactly once) and hard-exit."""
+    if not _EMITTED.acquire(blocking=False):  # someone else is emitting
+        time.sleep(5)
+        os._exit(code)
+    cb, e2e = STATE["compute_bound"], STATE["end_to_end"]
+    headline = e2e if "--end-to-end" in sys.argv and e2e else (cb or e2e)
+    out = {
+        "metric": "vitb_inference_boards_per_sec_per_chip",
+        "value": round(headline, 1) if headline else None,
+        "unit": "boards/s",
+        "vs_baseline": round(headline / 5000.0, 4) if headline else None,
+        "compute_bound": round(cb, 1) if cb else None,
+        "end_to_end": round(e2e, 1) if e2e else None,
+        "stage": STATE["stage"],
+    }
+    if STATE["error"]:
+        out["error"] = str(STATE["error"])[:300]
+    print(json.dumps(out), flush=True)
+    sys.stdout.flush()
+    os._exit(code)
+
+
+def host_init_params(model, input_size: int) -> dict:
+    """Random params on HOST from the abstract shape tree — avoids shipping a
+    whole jitted init program through the tunnel just to benchmark throughput
+    (weight values don't affect speed)."""
+    import jax
+
+    from chess_vision_tpu.models import abstract_variables
+
+    rng = np.random.default_rng(0)
+    abstract = abstract_variables(model, input_size)
+
+    def materialize(leaf):
+        return (rng.standard_normal(leaf.shape) * 0.02).astype(leaf.dtype)
+
+    return jax.tree.map(materialize, abstract["params"])
+
+
+def run_bench(batch: int, seconds: float, mode: str, use_int8: bool) -> None:
+    """Worker-thread body. Updates STATE incrementally so the supervisor can
+    emit partial results at any point."""
+    STATE["stage"] = "import"
     from chess_vision_tpu.utils.platform import apply_platform_env
 
     apply_platform_env()
-
     import jax
 
-    from chess_vision_tpu.models import build_model, init_variables
+    STATE["stage"] = "backend_init"
+    n_dev = len(jax.devices())
+    STATE["n_dev"] = n_dev
+
+    STATE["stage"] = "build_model"
+    from chess_vision_tpu.models import build_model
     from chess_vision_tpu.serve import make_infer_fn
-
-    batch = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 512
-    seconds = float(sys.argv[sys.argv.index("--seconds") + 1]) if "--seconds" in sys.argv else 12.0
-
-    mode = "rgb" if "--rgb" in sys.argv else "ycbcr420"
-    use_int8 = "--no-int8" not in sys.argv
 
     cfg = {
         "model": {"arch": "vit", "input_size": 256,
@@ -56,10 +124,10 @@ def main():
         "training": {"mixed_precision": True},
     }
     model = build_model(cfg)
-    variables = init_variables(model, 256)
-    params = variables["params"]
+    params = host_init_params(model, 256)
 
     if use_int8:
+        STATE["stage"] = "quantize"
         from chess_vision_tpu.ops.quant import quantize_chessvit
         from chess_vision_tpu.serve import make_int8_infer_fn
 
@@ -97,15 +165,21 @@ def main():
 
     # Warmup / compile (block via D2H of results — block_until_ready is
     # unreliable over tunneled backends).
+    STATE["stage"] = "compile"
     t_c = time.time()
     out = submit(hosts[0])
     np.asarray(out[0])
     print(f"bench: mode={mode} int8={use_int8} "
-          f"compile+warmup {time.time() - t_c:.1f}s", file=sys.stderr)
+          f"compile+warmup {time.time() - t_c:.1f}s", file=sys.stderr,
+          flush=True)
 
     # --- compute-bound: device-resident inputs, chained dispatch ----------
+    # Measured in short chunks; STATE updates after every chunk so a partial
+    # number survives a mid-measurement wedge.
+    STATE["stage"] = "upload"
     dev_inputs = [tuple(jax.device_put(a) for a in h) for h in hosts]
     np.asarray(infer(params, {}, *dev_inputs[0])[0])  # settle transfers
+    STATE["stage"] = "compute_bound"
     reps = 0
     t0 = time.time()
     window = []
@@ -113,12 +187,17 @@ def main():
         window.append(infer(params, {}, *dev_inputs[reps % 2]))
         if len(window) >= 8:
             np.asarray(window.pop(0)[0])
+            done = reps - 7  # results actually retired
+            if done >= 8:
+                STATE["compute_bound"] = done * batch / (time.time() - t0) / n_dev
         reps += 1
     while window:
         np.asarray(window.pop(0)[0])
-    compute_bound = reps * batch / (time.time() - t0)
+    compute_bound = reps * batch / (time.time() - t0) / n_dev
+    STATE["compute_bound"] = compute_bound
 
     # --- end-to-end: pipelined H2D -> infer -> D2H, depth-3 window --------
+    STATE["stage"] = "end_to_end"
     window = []
     boards = 0
     i = 0
@@ -128,30 +207,66 @@ def main():
         if len(window) >= 3:
             np.asarray(window.pop(0)[0])
             boards += batch
+            if boards >= 2 * batch:
+                STATE["end_to_end"] = boards / (time.time() - t0) / n_dev
         i += 1
     while window:
         np.asarray(window.pop(0)[0])
         boards += batch
-    elapsed = time.time() - t0
-    end_to_end = boards / elapsed
+    end_to_end = boards / (time.time() - t0) / n_dev
+    STATE["end_to_end"] = end_to_end
 
-    n_dev = len(jax.devices())
-    compute_bound /= max(n_dev, 1)
-    end_to_end /= max(n_dev, 1)
-    per_chip = end_to_end if "--end-to-end" in sys.argv else compute_bound
     print(
         f"bench: end_to_end {end_to_end:.1f} boards/s "
-        f"({boards} in {elapsed:.1f}s), compute_bound {compute_bound:.1f} "
+        f"({boards} boards), compute_bound {compute_bound:.1f} "
         f"boards/s on {n_dev} chip(s), batch={batch}", file=sys.stderr,
+        flush=True,
     )
-    print(json.dumps({
-        "metric": "vitb_inference_boards_per_sec_per_chip",
-        "value": round(per_chip, 1),
-        "unit": "boards/s",
-        "vs_baseline": round(per_chip / 5000.0, 4),
-        "compute_bound": round(compute_bound, 1),
-        "end_to_end": round(end_to_end, 1),
-    }))
+    STATE["stage"] = "done"
+    STATE["done"] = True
+
+
+def main():
+    batch = arg("--batch", 512, int)
+    seconds = arg("--seconds", 12.0, float)
+    budget = arg("--budget", float(os.environ.get("CVT_BENCH_BUDGET", 240)),
+                 float)
+    mode = "rgb" if "--rgb" in sys.argv else "ycbcr420"
+    use_int8 = "--no-int8" not in sys.argv
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, lambda s, f: (
+            STATE.__setitem__("error", STATE["error"] or f"signal {s}"),
+            emit_and_exit(0)))
+
+    def body():
+        try:
+            run_bench(batch, seconds, mode, use_int8)
+        except BaseException as e:  # noqa: BLE001 — always report
+            STATE["error"] = f"{type(e).__name__}: {e}"
+            STATE["done"] = True
+
+    worker = threading.Thread(target=body, daemon=True)
+    worker.start()
+
+    deadline = time.time() + budget
+    last_beat = 0.0
+    while not STATE["done"] and time.time() < deadline:
+        now = time.time()
+        if now - last_beat >= 10:
+            print(f"bench: [{now - deadline + budget:5.0f}s] "
+                  f"stage={STATE['stage']}"
+                  + (f" cb={STATE['compute_bound']:.0f}"
+                     if STATE['compute_bound'] else ""),
+                  file=sys.stderr, flush=True)
+            last_beat = now
+        time.sleep(1.0)
+
+    if not STATE["done"]:
+        STATE["error"] = (
+            f"budget {budget:.0f}s expired at stage={STATE['stage']} "
+            "(tunnel/backend stalled)")
+    emit_and_exit(0)
 
 
 if __name__ == "__main__":
