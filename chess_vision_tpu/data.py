@@ -40,6 +40,7 @@ class ChessDataset:
         input_size: int = 256,
         fast_decode: bool = True,
         cache_decoded: bool = False,
+        cache_budget_gb: float = 8.0,
     ):
         self.root_dir = root_dir
         self.input_size = input_size
@@ -49,7 +50,12 @@ class ChessDataset:
         # epochs 2+ skip JPEG decode entirely. ~96KB/sample for the ycbcr420
         # transport (~4.3GB for a 45k split), ~192KB for RGB. dict get/set are
         # single bytecode ops under the GIL — safe from loader threads.
+        # Bounded: once cache_budget_gb of decoded bytes are held, further
+        # samples are decoded fresh each epoch instead of cached (no OOM at
+        # reference-scale corpora on small hosts).
         self._cache: dict | None = {} if cache_decoded else None
+        self._cache_bytes = 0
+        self._cache_budget = int(cache_budget_gb * 2**30)
 
         if manifest is None:
             manifest = os.path.join(root_dir, "manifest.csv")
@@ -94,17 +100,17 @@ class ChessDataset:
         labels["legal"] = np.asarray([1.0 if legal else 0.0], np.float32)
         return labels
 
-    def load_image(self, idx: int) -> np.ndarray:
-        """uint8 (input_size, input_size, 3).
+    def _cache_put(self, key, value) -> None:
+        if self._cache is None or key in self._cache:
+            return
+        nbytes = (value.nbytes if isinstance(value, np.ndarray)
+                  else sum(p.nbytes for p in value))
+        if self._cache_bytes + nbytes > self._cache_budget:
+            return
+        self._cache[key] = value
+        self._cache_bytes += nbytes
 
-        JPEGs go through the native libjpeg decode+resize (GIL-releasing,
-        PIL-parity triangle filter — chess_vision_tpu/native) when available;
-        everything else (and fast_decode=False) uses PIL BILINEAR.
-        """
-        if self._cache is not None:
-            hit = self._cache.get(("rgb", idx))
-            if hit is not None:
-                return hit
+    def _decode_rgb(self, idx: int) -> np.ndarray:
         path = os.path.join(self.root_dir, self.samples[idx]["filename"])
         out = None
         if self.fast_decode:
@@ -118,8 +124,21 @@ class ChessDataset:
                     (self.input_size, self.input_size), Image.BILINEAR
                 )
             out = np.asarray(img, dtype=np.uint8)
+        return out
+
+    def load_image(self, idx: int) -> np.ndarray:
+        """uint8 (input_size, input_size, 3).
+
+        JPEGs go through the native libjpeg decode+resize (GIL-releasing,
+        PIL-parity triangle filter — chess_vision_tpu/native) when available;
+        everything else (and fast_decode=False) uses PIL BILINEAR.
+        """
         if self._cache is not None:
-            self._cache[("rgb", idx)] = out
+            hit = self._cache.get(("rgb", idx))
+            if hit is not None:
+                return hit
+        out = self._decode_rgb(idx)
+        self._cache_put(("rgb", idx), out)
         return out
 
     def load_planes(self, idx: int):
@@ -136,9 +155,10 @@ class ChessDataset:
         if planes is None:
             from chess_vision_tpu.serve import rgb_to_ycbcr420
 
-            planes = rgb_to_ycbcr420(self.load_image(idx))
-        if self._cache is not None:
-            self._cache[("ycbcr", idx)] = planes
+            # _decode_rgb (not load_image): don't also pin the intermediate
+            # RGB copy in the cache when only planes were requested
+            planes = rgb_to_ycbcr420(self._decode_rgb(idx))
+        self._cache_put(("ycbcr", idx), planes)
         return planes
 
     def __getitem__(self, idx: int):

@@ -35,8 +35,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _pick_bb(B: int, bytes_per_image: int, budget: int = 48 * 2**20) -> int:
-    return next(b for b in (8, 4, 2, 1)
-                if B % b == 0 and b * bytes_per_image <= budget)
+    bb = next((b for b in (8, 4, 2, 1)
+               if B % b == 0 and b * bytes_per_image <= budget), None)
+    if bb is None:
+        raise ValueError(
+            f"int8 matmul block does not fit VMEM: {bytes_per_image} bytes "
+            f"per image exceeds the {budget} byte budget even at block=1 "
+            "(shape too large for the fused per-image kernel)"
+        )
+    return bb
 
 
 def _matmul_f32(xq_i, xs_i, w, ws, bias):
@@ -85,11 +92,15 @@ def _res_ln_quant_kernel(xq_ref, xs_ref, wq_ref, ws_ref, b_ref, res_ref,
         xn_b = xn.astype(xn_ref.dtype)
         xn_ref[i] = xn_b
         # LayerNorm on the stored (rounded) residual so the math is identical
-        # to re-reading it; one-pass stats (var = E[x^2] - mu^2)
+        # to re-reading it; two-pass stats (mean, then mean of squared
+        # deviations) — the one-pass E[x^2]-mu^2 form cancels catastrophically
+        # for large-mean rows and residual magnitude grows with depth. The row
+        # is VMEM-resident so the second pass is cheap.
         h = xn_b.astype(jnp.float32)
         mu = jnp.mean(h, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(h), axis=-1, keepdims=True) - jnp.square(mu)
-        h = (h - mu) * jax.lax.rsqrt(var + eps) * g_ref[0] + b2_ref[0]
+        cen = h - mu
+        var = jnp.mean(jnp.square(cen), axis=-1, keepdims=True)
+        h = cen * jax.lax.rsqrt(var + eps) * g_ref[0] + b2_ref[0]
         yq_ref[i], ys_ref[i] = _rowquant(h)
 
 

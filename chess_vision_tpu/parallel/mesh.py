@@ -65,9 +65,12 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
 
     def put(x):
         if isinstance(x, jax.Array):
-            # already on device (e.g. data_device.DeviceBatchLoader) —
-            # np.asarray here would silently round-trip it through host
-            return x if x.ndim else jax.device_put(x, rep)
+            # already on device (e.g. data_device.DeviceBatchLoader):
+            # reshard instead of passing through — device_put with the target
+            # sharding is a no-op when already correctly placed, and on a
+            # multi-device mesh it fixes a single-device-resident batch that
+            # would otherwise flow in unsharded
+            return jax.device_put(x, sh if x.ndim else rep)
         x = np.asarray(x)
         if x.ndim == 0:
             return jax.device_put(x, rep)

@@ -124,9 +124,11 @@ def main():
     data_cfg = get_data_config(cfg["model"]["name"])
     max_samples = cfg["data"].get("max_samples")
     cache_decoded = bool(cfg["data"].get("cache_decoded", True))
+    cache_budget_gb = float(cfg["data"].get("cache_budget_gb", 8.0))
     dataset = ChessDataset(
         cfg["data"]["train_dir"], max_samples=max_samples,
         input_size=input_size, cache_decoded=cache_decoded,
+        cache_budget_gb=cache_budget_gb,
     )
     train_idx, val_idx = seeded_split(
         len(dataset), cfg["data"]["val_split"], seed=42
@@ -158,6 +160,7 @@ def main():
             ood_dir,
             max_samples=cfg["data"].get("ood_val_max_samples", 2000),
             input_size=input_size, cache_decoded=cache_decoded,
+            cache_budget_gb=cache_budget_gb,
         )
         ood_loader = BatchLoader(
             ood_dataset, np.arange(len(ood_dataset)), batch_size,
@@ -193,6 +196,10 @@ def main():
             and est <= dc_budget * 2**30
         )
     ) and n_dev == 1
+    if dc_flag is True and n_dev > 1:
+        print(f"NOTE: data.device_cache=true ignored on {n_dev} devices — "
+              "the device-resident cache is single-chip only; training on "
+              "the streaming mesh-sharded path instead")
     train_dd = val_dd = ood_dd = None
     # scanned epochs (default) vs per-step device-gathered batches through
     # the regular loop — the latter still has zero per-step H2D payload but
