@@ -131,11 +131,11 @@ def run_bench(batch: int, seconds: float, mode: str, use_int8: bool) -> None:
         from chess_vision_tpu.ops.quant import quantize_chessvit
         from chess_vision_tpu.serve import make_int8_infer_fn
 
-        pack = quantize_chessvit(params)
+        STATE["stage"] = "upload_pack"
+        params = jax.device_put(quantize_chessvit(params))
         infer = make_int8_infer_fn(
-            pack, mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5), mode=mode
+            mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5), mode=mode
         )
-        params = {}
     else:
         infer = make_infer_fn(
             model, mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5), mode=mode

@@ -61,16 +61,21 @@ def make_infer_fn(model, mean, std, mode: str = "rgb"):
     return jax.jit(forward)
 
 
-def make_int8_infer_fn(pack: dict, mean, std, mode: str = "rgb"):
+def make_int8_infer_fn(mean, std, mode: str = "rgb"):
     """Int8 (W8A8) ChessViT inference program (ops/quant.py) with the same
-    signature/outputs as make_infer_fn."""
+    signature/outputs as make_infer_fn — the quantized pack rides in the
+    `params` slot as a jit ARGUMENT, not a closure capture. Closure-captured
+    numpy weights get baked into the HLO as constants: a ~370MB program that
+    recompiles on any weight change and takes minutes to ship through a
+    remote-compile tunnel. As an argument the program is small/cacheable and
+    the pack uploads once via device_put."""
     from chess_vision_tpu.ops.preprocess import (
         preprocess_u8,
         ycbcr420_to_normalized,
     )
     from chess_vision_tpu.ops.quant import chessvit_int8_apply
 
-    def _head(x):
+    def _head(pack, x):
         out = chessvit_int8_apply(pack, x)
         preds = jnp.argmax(out["squares"].reshape(-1, 64, 13), axis=-1)
         return (
@@ -80,14 +85,14 @@ def make_int8_infer_fn(pack: dict, mean, std, mode: str = "rgb"):
         )
 
     if mode == "ycbcr420":
-        def forward(params, batch_stats, y, cb, cr):
-            del params, batch_stats
-            return _head(ycbcr420_to_normalized(y, cb, cr, mean, std,
-                                                jnp.bfloat16))
+        def forward(pack, batch_stats, y, cb, cr):
+            del batch_stats
+            return _head(pack, ycbcr420_to_normalized(y, cb, cr, mean, std,
+                                                      jnp.bfloat16))
     else:
-        def forward(params, batch_stats, u8):
-            del params, batch_stats
-            return _head(preprocess_u8(u8, mean, std, jnp.bfloat16))
+        def forward(pack, batch_stats, u8):
+            del batch_stats
+            return _head(pack, preprocess_u8(u8, mean, std, jnp.bfloat16))
 
     return jax.jit(forward)
 
@@ -131,9 +136,11 @@ class Predictor:
                 raise ValueError("int8 quantization currently supports arch=vit")
             from chess_vision_tpu.ops.quant import quantize_chessvit
 
-            pack = quantize_chessvit(self.params)
+            # upload the pack once; it then rides in the params slot
+            self.params = jax.device_put(quantize_chessvit(self.params))
+            self.batch_stats = {}
             self.infer = make_int8_infer_fn(
-                pack, data_cfg["mean"], data_cfg["std"], mode=mode
+                data_cfg["mean"], data_cfg["std"], mode=mode
             )
         else:
             self.infer = make_infer_fn(
