@@ -228,3 +228,94 @@ def fused_qkv_attention(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
             "CHESS_VISION_NO_PALLAS_ATTN") == "1":
         return _reference_attention(qkv, num_heads)
     return _tpu_attention(qkv, num_heads)
+
+
+def _attn_quant_kernel_flat(q_ref, k_ref, v_ref, oq_ref, os_ref, scratch,
+                            *, num_heads, head_dim, scale, n_real):
+    """One image per grid cell on the FLAT layout: refs are (NP, D) slabs of
+    the (M, 3D) qkv stream. Key columns >= n_real (token padding) are masked
+    out of the softmax; padded query rows produce garbage that stays
+    row-local downstream (matmuls/LN/rowquant are row-local and padded rows
+    are never attention keys)."""
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    NP = q.shape[0]
+    key_pad = jax.lax.broadcasted_iota(jnp.int32, (NP, NP), 1) >= n_real
+    for i in range(num_heads):
+        sl = slice(i * head_dim, (i + 1) * head_dim)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s = jnp.where(key_pad, -1e30, s)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        scratch[:, sl] = jax.lax.dot(
+            p.astype(v.dtype), v[:, sl],
+            preferred_element_type=jnp.float32,
+        )
+    o = scratch[...].astype(jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(o), axis=-1, keepdims=True), 1e-8)
+    oq_ref[...] = jnp.clip(jnp.round(o * (127.0 / amax)), -127, 127
+                           ).astype(jnp.int8)
+    os_ref[...] = amax * (1.0 / 127.0)
+
+
+def fused_qkv_attention_quant_flat(qkv, images: int, n_real: int,
+                                   num_heads: int, interpret: bool = False):
+    """Flat-layout attention + int8 output quant for the serving path.
+
+    qkv: (M, 3*H*Dh) packed qkv with M = images * NP (NP = padded tokens per
+    image, a multiple of the 32-row int8 tile). Keys >= n_real are masked.
+    Returns (int8 (M, H*Dh), f32 scales (M, 1)).
+    """
+    M, C3 = qkv.shape
+    D = C3 // 3
+    head_dim = D // num_heads
+    NP = M // images
+    assert NP * images == M, (M, images)
+    scale = 1.0 / math.sqrt(head_dim)
+    if jax.default_backend() != "tpu" and not interpret:
+        # XLA fallback (CPU test meshes): identical math on the real rows;
+        # padded rows differ (they are discarded downstream).
+        o3 = _reference_attention(
+            qkv.reshape(images, NP, C3)[:, :n_real], num_heads)
+        o3 = jnp.pad(o3.astype(jnp.float32),
+                     ((0, 0), (0, NP - n_real), (0, 0)))
+        o = o3.reshape(M, D)
+        amax = jnp.maximum(jnp.max(jnp.abs(o), axis=-1, keepdims=True), 1e-8)
+        oq = jnp.clip(jnp.round(o * (127.0 / amax)), -127, 127
+                      ).astype(jnp.int8)
+        return oq, amax * (1.0 / 127.0)
+    spec = lambda part: pl.BlockSpec(  # noqa: E731
+        (NP, D),
+        lambda b, part=part: (b, part),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        functools.partial(_attn_quant_kernel_flat, num_heads=num_heads,
+                          head_dim=head_dim, scale=scale, n_real=n_real),
+        out_shape=(
+            jax.ShapeDtypeStruct((M, D), jnp.int8),
+            jax.ShapeDtypeStruct((M, 1), jnp.float32),
+        ),
+        grid=(images,),
+        in_specs=[spec(0), spec(1), spec(2)],
+        out_specs=(
+            pl.BlockSpec((NP, D), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NP, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((NP, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * images * num_heads * NP * NP * head_dim,
+            bytes_accessed=qkv.size * qkv.dtype.itemsize,
+            transcendentals=images * num_heads * NP * NP,
+        ),
+        interpret=interpret,
+    )(qkv, qkv, qkv)

@@ -231,3 +231,169 @@ def int8_matmul_res(xq, xs, wq, ws, bias, res, interpret: bool = False):
         cost_estimate=_cost(B, N, K, O),
         interpret=interpret,
     )(xq, xs, wq, _row2(ws, O), _row2(bias, O), res)
+
+
+# ---------------------------------------------------------------------------
+# Flat (M-blocked) variants — no per-image block structure.
+#
+# The per-image kernels above run one (N=257, K) dot per image inside each
+# grid cell: M=257 underfills the MXU pipeline and the 257-row blocks are
+# sublane-padded, which measured at 30-69 TOPS-effective vs 92-374 for plain
+# XLA at the same shapes. Rowquant, LayerNorm, and GELU are all row-local, so
+# nothing about the epilogue actually needs image structure: these variants
+# treat the activation stream as a flat (M, K) matrix (M = B * N_padded with
+# the token axis padded to a multiple of the 32-row int8 tile, so the
+# (B, NP, D) <-> (M, D) reshape is layout-free) and tile M into large
+# MXU-friendly row blocks. Only attention needs image structure and handles
+# it separately (ops/attention.fused_qkv_attention_quant_flat, masking the
+# padded key rows).
+# ---------------------------------------------------------------------------
+
+
+def _pick_bm(M: int, bytes_per_row: int, budget: int = 48 * 2**20) -> int:
+    bm = next((b for b in (2048, 1024, 512, 256, 128, 64, 32)
+               if M % b == 0 and b * bytes_per_row <= budget), None)
+    if bm is None:
+        raise ValueError(
+            f"int8 flat matmul: no row-block of M={M} fits the {budget} byte "
+            f"VMEM budget at {bytes_per_row} bytes/row (pad M to a multiple "
+            "of 32 and keep K*O moderate)"
+        )
+    return bm
+
+
+def _gelu_quant_kernel_flat(xq_ref, xs_ref, wq_ref, ws_ref, b_ref,
+                            yq_ref, ys_ref):
+    y = _gelu_erf(_matmul_f32(xq_ref[...], xs_ref[...], wq_ref[...],
+                              ws_ref[0], b_ref[0]))
+    yq_ref[...], ys_ref[...] = _rowquant(y)
+
+
+def _res_ln_quant_kernel_flat(xq_ref, xs_ref, wq_ref, ws_ref, b_ref, res_ref,
+                              g_ref, b2_ref, xn_ref, yq_ref, ys_ref, *, eps):
+    y = _matmul_f32(xq_ref[...], xs_ref[...], wq_ref[...], ws_ref[0], b_ref[0])
+    xn = res_ref[...].astype(jnp.float32) + y
+    xn_b = xn.astype(xn_ref.dtype)
+    xn_ref[...] = xn_b
+    # LN on the stored (rounded) residual; two-pass stats (see blocked kernel)
+    h = xn_b.astype(jnp.float32)
+    mu = jnp.mean(h, axis=-1, keepdims=True)
+    cen = h - mu
+    var = jnp.mean(jnp.square(cen), axis=-1, keepdims=True)
+    h = cen * jax.lax.rsqrt(var + eps) * g_ref[0] + b2_ref[0]
+    yq_ref[...], ys_ref[...] = _rowquant(h)
+
+
+def _res_kernel_flat(xq_ref, xs_ref, wq_ref, ws_ref, b_ref, res_ref, xn_ref):
+    y = _matmul_f32(xq_ref[...], xs_ref[...], wq_ref[...], ws_ref[0], b_ref[0])
+    xn_ref[...] = (res_ref[...].astype(jnp.float32) + y).astype(xn_ref.dtype)
+
+
+def _flat_in_specs(bm, K, O):
+    return [
+        pl.BlockSpec((bm, K), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, O), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, O), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, O), lambda b: (0, 0), memory_space=pltpu.VMEM),
+    ]
+
+
+def _cost_flat(M, K, O, transcendental_rows=0):
+    return pl.CostEstimate(
+        flops=2 * M * K * O,
+        bytes_accessed=M * (K + O) + K * O + 4 * M * 2,
+        transcendentals=transcendental_rows * M * O,
+    )
+
+
+def int8_matmul_gelu_quant_flat(xq, xs, wq, ws, bias, interpret: bool = False):
+    """fc1 + GELU + requant, flat layout.
+
+    xq: (M, K) int8; xs: (M, 1) f32; wq: (K, O) int8; ws/bias: (O,).
+    Returns (yq (M, O) int8, ys (M, 1) f32).
+    """
+    M, K = xq.shape
+    O = wq.shape[1]
+    bm = _pick_bm(M, K + 6 * O)
+    return pl.pallas_call(
+        _gelu_quant_kernel_flat,
+        out_shape=(
+            jax.ShapeDtypeStruct((M, O), jnp.int8),
+            jax.ShapeDtypeStruct((M, 1), jnp.float32),
+        ),
+        grid=(M // bm,),
+        in_specs=_flat_in_specs(bm, K, O),
+        out_specs=(
+            pl.BlockSpec((bm, O), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 2**20,
+        ),
+        cost_estimate=_cost_flat(M, K, O, transcendental_rows=2),
+        interpret=interpret,
+    )(xq, xs, wq, _row2(ws, O), _row2(bias, O))
+
+
+def int8_matmul_res_ln_quant_flat(xq, xs, wq, ws, bias, res, ln_scale,
+                                  ln_bias, eps: float = 1e-6,
+                                  interpret: bool = False):
+    """proj/fc2 + residual + next LayerNorm + requant, flat layout.
+
+    res: (M, O) bf16. Returns (x_new (M, O) bf16, yq (M, O) int8,
+    ys (M, 1) f32) where yq/ys quantize layernorm(x_new).
+    """
+    M, K = xq.shape
+    O = wq.shape[1]
+    bm = _pick_bm(M, K + 11 * O)
+    return pl.pallas_call(
+        functools.partial(_res_ln_quant_kernel_flat, eps=eps),
+        out_shape=(
+            jax.ShapeDtypeStruct((M, O), res.dtype),
+            jax.ShapeDtypeStruct((M, O), jnp.int8),
+            jax.ShapeDtypeStruct((M, 1), jnp.float32),
+        ),
+        grid=(M // bm,),
+        in_specs=_flat_in_specs(bm, K, O) + [
+            pl.BlockSpec((bm, O), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, O), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, O), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bm, O), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, O), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 2**20,
+        ),
+        cost_estimate=_cost_flat(M, K, O),
+        interpret=interpret,
+    )(xq, xs, wq, _row2(ws, O), _row2(bias, O), res,
+      _row2(ln_scale, O), _row2(ln_bias, O))
+
+
+def int8_matmul_res_flat(xq, xs, wq, ws, bias, res, interpret: bool = False):
+    """Last-block fc2 + residual add, flat layout."""
+    M, K = xq.shape
+    O = wq.shape[1]
+    bm = _pick_bm(M, K + 9 * O)
+    return pl.pallas_call(
+        _res_kernel_flat,
+        out_shape=jax.ShapeDtypeStruct((M, O), res.dtype),
+        grid=(M // bm,),
+        in_specs=_flat_in_specs(bm, K, O) + [
+            pl.BlockSpec((bm, O), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, O), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 2**20,
+        ),
+        cost_estimate=_cost_flat(M, K, O),
+        interpret=interpret,
+    )(xq, xs, wq, _row2(ws, O), _row2(bias, O), res)

@@ -127,10 +127,14 @@ def _rowquant_kernel(x_ref, g_ref, b_ref, xq_ref, s_ref, *, mode, eps):
     x = x_ref[...].astype(jnp.float32)                  # (bb, N, D)
     D = x.shape[-1]
     if mode == "ln":
-        # one-pass statistics: var = E[x^2] - mu^2
+        # two-pass statistics (mean, then mean of squared deviations): the
+        # one-pass E[x^2]-mu^2 form cancels catastrophically for
+        # large-mean rows; the block is VMEM-resident so the extra pass
+        # is cheap
         mu = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(x), axis=-1, keepdims=True) - jnp.square(mu)
-        x = (x - mu) * jax.lax.rsqrt(var + eps) * g_ref[0] + b_ref[0]
+        cen = x - mu
+        var = jnp.mean(jnp.square(cen), axis=-1, keepdims=True)
+        x = cen * jax.lax.rsqrt(var + eps) * g_ref[0] + b_ref[0]
     elif mode == "gelu":
         x = 0.5 * x * (1.0 + _erf(x * (1.0 / math.sqrt(2.0))))
     amax = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), 1e-8)
@@ -149,7 +153,47 @@ def fused_rowquant(x, mode: str = "none", ln_scale=None, ln_bias=None,
     (amortizing per-cell overhead); each cell holds its whole (bb, N, D) row
     block in VMEM so the pre-op, both reductions (LN stats + abs-max), and
     the rounding happen in a single HBM read.
+
+    Also accepts a flat (M, D) stream (the M-blocked serving layout) and
+    returns ((M, D) int8, (M, 1) f32).
     """
+    if x.ndim == 2:
+        M, D = x.shape
+        bm = next(b for b in (2048, 1024, 512, 256, 128, 64, 32, 16, 8, 4, 2, 1)
+                  if M % b == 0 and b * D * 7 <= 40 * 2**20)
+        if ln_scale is None:
+            ln_scale = jnp.zeros((1, D), jnp.float32)
+            ln_bias = jnp.zeros((1, D), jnp.float32)
+        else:
+            ln_scale = jnp.asarray(ln_scale, jnp.float32).reshape(1, D)
+            ln_bias = jnp.asarray(ln_bias, jnp.float32).reshape(1, D)
+        return pl.pallas_call(
+            functools.partial(_rowquant_kernel, mode=mode, eps=eps),
+            out_shape=(
+                jax.ShapeDtypeStruct((M, D), jnp.int8),
+                jax.ShapeDtypeStruct((M, 1), jnp.float32),
+            ),
+            grid=(M // bm,),
+            in_specs=[
+                pl.BlockSpec((bm, D), lambda b: (b, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, D), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, D), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((bm, D), lambda b: (b, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bm, 1), lambda b: (b, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+                vmem_limit_bytes=100 * 2**20,
+            ),
+            interpret=interpret,
+        )(x, ln_scale, ln_bias)
     B, N, D = x.shape
     # block several images per cell (amortize per-cell overhead) within a
     # ~40MB VMEM budget (v5e has 128MB; ~7 bytes/elem incl. f32 temps and
@@ -246,6 +290,44 @@ def _block_tpu(x, xq, xs, q, next_ln, num_heads=12, interpret=False):
     return x, xq, xs
 
 
+def _block_tpu_flat(x, xq, xs, q, next_ln, images, n_real,
+                    num_heads=12, interpret=False):
+    """One ViT block on the FLAT (M-blocked) serving path.
+
+    Same fusion structure as _block_tpu but every tensor is a flat (M, D)
+    stream (M = images * NP, token axis padded to the 32-row int8 tile), so
+    the proj/fc1/fc2 kernels tile M into large MXU-friendly row blocks
+    instead of one underfilled (257, K) dot per image. Attention is the only
+    op that needs image structure (ops/attention.py flat kernel, padded keys
+    masked)."""
+    from chess_vision_tpu.ops.attention import fused_qkv_attention_quant_flat
+    from chess_vision_tpu.ops.int8_matmul import (
+        int8_matmul_gelu_quant_flat,
+        int8_matmul_res_flat,
+        int8_matmul_res_ln_quant_flat,
+    )
+
+    qkv = quant_dense_q(xq, xs, q["qkv"]["wq"], q["qkv"]["scale"],
+                        q["qkv"]["bias"])
+    aq, as_ = fused_qkv_attention_quant_flat(qkv, images, n_real, num_heads,
+                                             interpret=interpret)
+    x, hq, hs = int8_matmul_res_ln_quant_flat(
+        aq, as_, q["proj"]["wq"], q["proj"]["scale"], q["proj"]["bias"],
+        x, q["norm2"]["scale"], q["norm2"]["bias"], interpret=interpret)
+    gq, gs = int8_matmul_gelu_quant_flat(
+        hq, hs, q["fc1"]["wq"], q["fc1"]["scale"], q["fc1"]["bias"],
+        interpret=interpret)
+    if next_ln is None:
+        x = int8_matmul_res_flat(
+            gq, gs, q["fc2"]["wq"], q["fc2"]["scale"], q["fc2"]["bias"], x,
+            interpret=interpret)
+        return x, None, None
+    x, xq, xs = int8_matmul_res_ln_quant_flat(
+        gq, gs, q["fc2"]["wq"], q["fc2"]["scale"], q["fc2"]["bias"],
+        x, next_ln["scale"], next_ln["bias"], interpret=interpret)
+    return x, xq, xs
+
+
 def _block(x, q, num_heads=12):
     """Plain-XLA int8 block (CPU test meshes; identical math to the fused
     TPU path in _block_tpu up to f32/bf16 rounding order)."""
@@ -281,12 +363,33 @@ def chessvit_int8_apply(pack: dict, images) -> dict:
     x = jnp.concatenate([cls, x], axis=1) + pack["pos_embed"].astype(x.dtype)
 
     blocks = pack["blocks"]
+    N = x.shape[1]
     if jax.default_backend() == "tpu":
-        xq, xs = fused_rowquant(x, "ln", blocks[0]["norm1"]["scale"],
-                                blocks[0]["norm1"]["bias"])
-        for i, q in enumerate(blocks):
-            nxt = blocks[i + 1]["norm1"] if i + 1 < len(blocks) else None
-            x, xq, xs = _block_tpu(x, xq, xs, q, nxt)
+        import os
+
+        layout = os.environ.get("CHESS_VISION_INT8_LAYOUT", "flat")
+        if layout == "flat":
+            # Flat M-blocked layout: pad the token axis to the 32-row int8
+            # tile so (B, NP, D) <-> (B*NP, D) reshapes are layout-free, then
+            # run the whole block stack on (M, D) streams (int8_matmul.py
+            # flat kernels). +12% padded rows, but the matmuls tile M into
+            # large MXU-friendly blocks instead of one (257, K) dot/image.
+            NP = -(-N // 32) * 32
+            x = jnp.pad(x, ((0, 0), (0, NP - N), (0, 0)))
+            x = x.reshape(B * NP, D)
+            xq, xs = fused_rowquant(x, "ln", blocks[0]["norm1"]["scale"],
+                                    blocks[0]["norm1"]["bias"])
+            for i, q in enumerate(blocks):
+                nxt = blocks[i + 1]["norm1"] if i + 1 < len(blocks) else None
+                x, xq, xs = _block_tpu_flat(x, xq, xs, q, nxt,
+                                            images=B, n_real=N)
+            x = x.reshape(B, NP, D)[:, :N]
+        else:
+            xq, xs = fused_rowquant(x, "ln", blocks[0]["norm1"]["scale"],
+                                    blocks[0]["norm1"]["bias"])
+            for i, q in enumerate(blocks):
+                nxt = blocks[i + 1]["norm1"] if i + 1 < len(blocks) else None
+                x, xq, xs = _block_tpu(x, xq, xs, q, nxt)
     else:
         for q in blocks:
             x = _block(x, q)
