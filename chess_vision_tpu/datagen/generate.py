@@ -80,8 +80,13 @@ def generate_split(
     texture_pct: float = 0.5,
     workers: int | None = None,
     assets_dir: str | None = None,
+    start_index: int = 0,
 ) -> int:
-    """Generate one split. sources = [("random", n), ("game", m), ...]."""
+    """Generate one split. sources = [("random", n), ("game", m), ...].
+
+    start_index > 0 appends to an existing split: filenames continue from
+    that index and new manifest rows are appended to manifest.csv (enables
+    growing a corpus in place, e.g. 50k -> 150k, without regenerating)."""
     # Discover image piece sets / board textures BEFORE pre-assignment so
     # the style pool is fixed in the main process (determinism discipline).
     set_assets_dir(assets_dir)
@@ -110,7 +115,8 @@ def generate_split(
         style_fields = (style.piece_style, style.light, style.dark,
                         style.flipped, style.highlight, style.jitter,
                         style.scale, style.texture, style.extras)
-        assignments.append((i, pos_fields, style_fields, render_seed))
+        assignments.append(
+            (start_index + i, pos_fields, style_fields, render_seed))
 
     os.makedirs(out_dir, exist_ok=True)
     workers = workers or os.cpu_count() or 4
@@ -128,9 +134,12 @@ def generate_split(
             rows.extend(_render_chunk(task))
 
     rows.sort(key=lambda r: r[0])
-    with open(os.path.join(out_dir, "manifest.csv"), "w", newline="") as f:
+    manifest = os.path.join(out_dir, "manifest.csv")
+    append = start_index > 0 and os.path.exists(manifest)
+    with open(manifest, "a" if append else "w", newline="") as f:
         writer = csv.writer(f)
-        writer.writerow(MANIFEST_HEADER)
+        if not append:
+            writer.writerow(MANIFEST_HEADER)
         writer.writerows(rows)
     return len(rows)
 
@@ -181,6 +190,9 @@ def main():
     parser.add_argument("--assets-dir", default=None,
                         help="Directory with pieces/<style>/ image sets and "
                              "boards/ textures (auto-discovered)")
+    parser.add_argument("--start-index", type=int, default=0,
+                        help="Append mode: continue filenames from this "
+                             "index and append to the existing manifest")
     args = parser.parse_args()
 
     if args.config:
@@ -197,6 +209,7 @@ def main():
     n = generate_split(
         args.out, sources, size=args.size, seed=args.seed, fmt=args.format,
         workers=args.workers, assets_dir=args.assets_dir,
+        start_index=args.start_index,
     )
     print(f"{n} images -> {args.out}")
 
