@@ -227,6 +227,162 @@ def bench_kernels():
           2 * 2 * B * N * N * D)
 
 
+def bench_flat():
+    """Per-op rates for the FLAT (M-blocked) int8 serving kernels at ViT-B
+    shapes (M = B * 288 padded tokens), comparable to bench_kernels."""
+    import jax
+    import jax.numpy as jnp
+
+    from chess_vision_tpu.ops.attention import fused_qkv_attention_quant_flat
+    from chess_vision_tpu.ops.int8_matmul import (
+        int8_matmul_gelu_quant_flat,
+        int8_matmul_res_ln_quant_flat,
+    )
+
+    B = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+    NP, D = 288, 768
+    M = B * NP
+    iters = 8
+    rng = np.random.default_rng(0)
+    xq = jnp.asarray(rng.integers(-127, 128, (M, D)), jnp.int8)
+    xs = jnp.asarray(rng.random((M, 1)), jnp.float32) * 0.01
+    xb = jnp.asarray(rng.normal(size=(M, D)), jnp.bfloat16)
+    g = jnp.ones((D,), jnp.float32)
+    b2 = jnp.zeros((D,), jnp.float32)
+
+    def timed(name, loop_fn, args, flops):
+        loop = jax.jit(loop_fn)
+        _sync(loop(*args))
+        t0 = time.time()
+        _sync(loop(*args))
+        dt = time.time() - t0
+        print(f"{name}: {flops * iters / dt / 1e12:.1f} T/s-equiv "
+              f"({dt / iters * 1e3:.1f} ms/call)", flush=True)
+
+    wq_proj = jnp.asarray(rng.integers(-127, 128, (D, D)), jnp.int8)
+    ws = jnp.ones((D,), jnp.float32) * 0.01
+    bias = jnp.zeros((D,), jnp.float32)
+
+    def loop_proj(xq, xs, wq_proj, ws, bias, xb, g, b2):
+        def body(_, c):
+            x, hq, hs = int8_matmul_res_ln_quant_flat(
+                xq, xs + c, wq_proj, ws, bias, xb, g, b2)
+            return (hs[0, 0] * 0).astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    timed("flat res_ln_quant (proj 768->768)", loop_proj,
+          (xq, xs, wq_proj, ws, bias, xb, g, b2), 2 * M * D * D)
+
+    wq_fc1 = jnp.asarray(rng.integers(-127, 128, (D, 4 * D)), jnp.int8)
+    ws1 = jnp.ones((4 * D,), jnp.float32) * 0.01
+    b1 = jnp.zeros((4 * D,), jnp.float32)
+
+    def loop_fc1(xq, xs, wq_fc1, ws1, b1):
+        def body(_, c):
+            q, s = int8_matmul_gelu_quant_flat(xq, xs + c, wq_fc1, ws1, b1)
+            return (s[0, 0] * 0).astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    timed("flat gelu_quant (fc1 768->3072)", loop_fc1,
+          (xq, xs, wq_fc1, ws1, b1), 2 * M * D * 4 * D)
+
+    hq = jnp.asarray(rng.integers(-127, 128, (M, 4 * D)), jnp.int8)
+    hs = jnp.asarray(rng.random((M, 1)), jnp.float32) * 0.01
+    wq_fc2 = jnp.asarray(rng.integers(-127, 128, (4 * D, D)), jnp.int8)
+
+    def loop_fc2(hq, hs, wq_fc2, ws, bias, xb, g, b2):
+        def body(_, c):
+            x, q, s = int8_matmul_res_ln_quant_flat(
+                hq, hs + c, wq_fc2, ws, bias, xb, g, b2)
+            return (s[0, 0] * 0).astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    timed("flat res_ln_quant (fc2 3072->768)", loop_fc2,
+          (hq, hs, wq_fc2, ws, bias, xb, g, b2), 2 * M * 4 * D * D)
+
+    qkv = jnp.asarray(rng.normal(size=(M, 3 * D)), jnp.bfloat16)
+
+    def loop_attn(qkv):
+        def body(_, c):
+            aq, s = fused_qkv_attention_quant_flat(qkv + c, B, 257, 12)
+            return (s[0, 0] * 0).astype(jnp.bfloat16)
+
+        return jax.lax.fori_loop(0, iters, body, jnp.bfloat16(0))
+
+    timed("flat attention (NP=288, masked)", loop_attn, (qkv,),
+          2 * 2 * B * NP * NP * D)
+
+
+def bench_train():
+    """Compute-bound ViT-B train-step throughput (VERDICT r2 #6): donated
+    train steps chained in one jitted fori_loop on device-resident data,
+    D2H-synced — the reference's comparable number is ~614 img/s on one CUDA
+    GPU (01_vit_baseline_3ep_train.log). Also doubles as the scanned-mode
+    fault bisection (VERDICT r2 #7): run with CHESS_VISION_NO_PALLAS_ATTN=1
+    to take the Pallas attention kernel out of the loop body."""
+    import jax
+    import jax.numpy as jnp
+
+    from chess_vision_tpu.models import build_model, init_variables
+    from chess_vision_tpu.train.loop import make_steps
+    from chess_vision_tpu.train.state import create_train_state
+
+    B = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    cfg = {
+        "model": {"arch": "vit", "input_size": 256,
+                  "head_dropout": 0.1, "drop_path_rate": 0.1},
+        "training": {
+            "mixed_precision": True, "epochs": 10, "batch_size": B,
+            "lr": 2e-4, "weight_decay": 0.05, "grad_clip_norm": 1.0,
+            "label_smoothing": 0.1, "turn_loss_weight": 1.0,
+            "castling_loss_weight": 1.0,
+        },
+        "scheduler": {"warmup_epochs": 1},
+    }
+    model = build_model(cfg)
+    variables = init_variables(model, 256)
+    state, _ = create_train_state(cfg, variables, steps_per_epoch=351)
+    train_step, _ = make_steps(
+        model, cfg, class_weights=None, mean=(0.5,) * 3, std=(0.5,) * 3)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(
+            rng.integers(0, 256, (B, 256, 256, 3)), jnp.uint8),
+        "squares": jnp.asarray(rng.integers(0, 13, (B, 64)), jnp.int32),
+        "turn": jnp.asarray(rng.integers(0, 2, (B, 1)), jnp.float32),
+        "castling": jnp.asarray(rng.integers(0, 2, (B, 4)), jnp.float32),
+        "legal": jnp.ones((B, 1), jnp.float32),
+        "mask": jnp.ones(B, jnp.float32),
+    }
+
+    @jax.jit
+    def loop(state, batch, key):
+        def body(i, st):
+            st, _ = train_step(st, batch, jax.random.fold_in(key, i))
+            return st
+
+        st = jax.lax.fori_loop(0, iters, body, state)
+        return st.step, jax.tree.leaves(st.params)[0].reshape(-1)[0]
+
+    key = jax.random.key(0)
+    t0 = time.time()
+    step, p0 = loop(state, batch, key)
+    _sync(p0)
+    print(f"compile+warm {time.time() - t0:.1f}s", flush=True)
+    t0 = time.time()
+    step, p0 = loop(state, batch, key)
+    _sync(p0)
+    dt = time.time() - t0
+    print(f"train vit b={B}: {B * iters / dt:.1f} img/s "
+          f"({dt / iters * 1e3:.0f} ms/step, {iters} chained steps)",
+          flush=True)
+
+
 if __name__ == "__main__":
     from chess_vision_tpu.utils.platform import apply_platform_env
 
@@ -238,3 +394,7 @@ if __name__ == "__main__":
         bench_vit()
     elif what == "kernels":
         bench_kernels()
+    elif what == "flat":
+        bench_flat()
+    elif what == "train":
+        bench_train()
