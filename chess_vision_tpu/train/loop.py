@@ -319,6 +319,150 @@ def make_gathered_steps(train_step, eval_step):
     return gtrain, geval
 
 
+def make_gathered_chunk_steps(train_step, eval_step, chunk: int):
+    """K-steps-per-dispatch variant of make_gathered_steps: one jitted
+    program advances `chunk` consecutive steps (on-device batch gather +
+    step + metric accumulation in a fori_loop), so the relay round-trip —
+    the dominant per-step cost through the tunnelled backend (~2s RTT vs
+    ~0.4s step compute) — is paid once per K steps instead of once per
+    step. Middle ground between per-step gathers and the fully-scanned
+    epoch (run_train_epoch_scan), whose epoch-length loop faulted the
+    remote TPU worker; short fixed-K loops are the workaround named in
+    that investigation.
+
+    Per-step losses come back as (K,) stacks for TB logging. The tail
+    (steps % K) is run with the single-step programs from
+    make_gathered_steps, so callers pass both program pairs.
+    """
+    import functools
+
+    from chess_vision_tpu.data_device import gather_batch
+
+    K = int(chunk)
+
+    def _acc(totals, sums):
+        return {k: totals[k] + v for k, v in sums.items()
+                if not k.startswith("step_")}
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def gtrain_k(state, totals, i0, idxs_all, mask_all, rng, pixels, labels):
+        def body(j, carry):
+            st, tot, sl, sp = carry
+            i = i0 + j
+            batch = gather_batch(pixels, labels, idxs_all[i], mask_all[i])
+            st, sums = train_step(st, batch, rng)
+            sl = jax.lax.dynamic_update_index_in_dim(
+                sl, sums["step_loss"].astype(jnp.float32), j, 0)
+            sp = jax.lax.dynamic_update_index_in_dim(
+                sp, sums["step_piece_loss"].astype(jnp.float32), j, 0)
+            return st, _acc(tot, sums), sl, sp
+
+        zeros = jnp.zeros((K,), jnp.float32)
+        return jax.lax.fori_loop(
+            0, K, body, (state, totals, zeros, zeros))
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def geval_k(params, batch_stats, totals, i0, idxs_all, mask_all,
+                pixels, labels):
+        def body(j, tot):
+            i = i0 + j
+            sums = eval_step(params, batch_stats, gather_batch(
+                pixels, labels, idxs_all[i], mask_all[i]))
+            return _acc(tot, sums)
+
+        return jax.lax.fori_loop(0, K, body, totals)
+
+    return gtrain_k, geval_k
+
+
+def run_train_epoch_gathered_chunk(
+    gtrain_k,
+    gtrain,
+    state,
+    device_data,
+    base_rng,
+    batch_size: int,
+    chunk: int,
+    seed: int = 0,
+    epoch: int = 0,
+    step_log: Callable | None = None,
+    schedule=None,
+):
+    """Device-cache training epoch at `chunk` steps per dispatch.
+
+    One D2H scalar read per chunk bounds the relay's in-flight queue (a
+    chunk is seconds of device compute, so the read is long since ready).
+    """
+    import sys
+    import time as _time
+
+    idxs, msk = device_data.epoch_plan(
+        batch_size, shuffle=True, seed=seed, epoch=epoch, drop_remainder=True
+    )
+    steps = idxs.shape[0]
+    if steps == 0:
+        raise ValueError("Not enough samples for one batch")
+    K = int(chunk)
+    main = steps - steps % K
+    step0 = int(state.step)
+    totals = zero_metric_sums()
+    losses, pieces = [], []
+    idxs_dev = jnp.asarray(idxs)
+    msk_dev = jnp.asarray(msk)
+    t0 = _time.time()
+    done = 0
+    for off in range(0, main, K):
+        state, totals, sl, sp = gtrain_k(
+            state, totals, np.int32(off), idxs_dev, msk_dev,
+            base_rng, device_data.pixels, device_data.labels,
+        )
+        losses.append(sl)
+        pieces.append(sp)
+        float(sl[0])  # D2H read: flow control, one per chunk
+        done += K
+        rate = done / max(_time.time() - t0, 1e-9)
+        print(f"    step {done}/{steps} ({rate:.2f} it/s, "
+              f"chunks of {K})", file=sys.stderr, flush=True)
+    for i in range(main, steps):
+        state, totals, sl, sp = gtrain(
+            state, totals, np.int32(i), idxs_dev, msk_dev,
+            base_rng, device_data.pixels, device_data.labels,
+        )
+        losses.append(jnp.reshape(sl, (1,)))
+        pieces.append(jnp.reshape(sp, (1,)))
+    if step_log is not None:
+        sls = np.asarray(jnp.concatenate(losses))
+        sps = np.asarray(jnp.concatenate(pieces))
+        for j in range(steps):
+            g = step0 + j
+            lr = float(schedule(g)) if schedule is not None else None
+            step_log(g, float(sls[j]), float(sps[j]), lr)
+    return state, finalize(totals)
+
+
+def run_eval_epoch_gathered_chunk(geval_k, geval, state, device_data,
+                                  batch_size: int, chunk: int):
+    idxs, msk = device_data.epoch_plan(batch_size, shuffle=False)
+    steps = idxs.shape[0]
+    K = int(chunk)
+    main = steps - steps % K
+    totals = zero_metric_sums()
+    idxs_dev = jnp.asarray(idxs)
+    msk_dev = jnp.asarray(msk)
+    for off in range(0, main, K):
+        totals = geval_k(
+            state.params, state.batch_stats, totals, np.int32(off),
+            idxs_dev, msk_dev, device_data.pixels, device_data.labels,
+        )
+        float(totals["loss_sum"])
+    for i in range(main, steps):
+        totals = geval(
+            state.params, state.batch_stats, totals, np.int32(i),
+            idxs_dev, msk_dev, device_data.pixels, device_data.labels,
+        )
+    return finalize(totals)
+
+
 def run_train_epoch_gathered(
     gtrain,
     state,

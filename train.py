@@ -213,10 +213,18 @@ def main():
     dc_scan = cfg["data"].get("device_cache_scan", False)
     if not isinstance(dc_scan, bool):
         dc_scan = str(dc_scan).lower() in ("true", "1", "yes")
+    # data.device_cache_chunk=K (>1) runs K steps per dispatch (gather +
+    # step + metrics in one fori_loop program): amortizes the relay RTT —
+    # the dominant per-step cost through the tunnel — without the
+    # epoch-length loop that faulted the worker in scan mode.
+    dc_chunk = cfg["data"].get("device_cache_chunk", 0)
+    dc_chunk = int(dc_chunk) if dc_chunk not in (None, "", "null") else 0
     if use_device_cache:
+        mode = ("scanned epochs" if dc_scan
+                else f"{dc_chunk}-step chunked gathers" if dc_chunk > 1
+                else "per-step gathers")
         print(f"Device cache: on ({est / 2**30:.1f} GB est.) — "
-              "uploading dataset to HBM once; "
-              + ("scanned epochs" if dc_scan else "per-step gathers"))
+              f"uploading dataset to HBM once; {mode}")
 
     # --- Class weights ---
     class_weights = None
@@ -274,9 +282,16 @@ def main():
         # their own fused programs (scan chunks or gathered per-step)
         train_step, eval_step = jit_steps(train_step, eval_step)
     elif not dc_scan:
-        from chess_vision_tpu.train.loop import make_gathered_steps
+        from chess_vision_tpu.train.loop import (
+            make_gathered_chunk_steps,
+            make_gathered_steps,
+        )
 
         gtrain, geval = make_gathered_steps(train_step, eval_step)
+        gtrain_k = geval_k = None
+        if dc_chunk > 1:
+            gtrain_k, geval_k = make_gathered_chunk_steps(
+                train_step, eval_step, dc_chunk)
     base_rng = jax.random.key(args.seed)
 
     if use_device_cache:
@@ -330,6 +345,16 @@ def main():
                 seed=args.seed, epoch=epoch,
                 step_log=logger.log_step, schedule=schedule,
             )
+        elif use_device_cache and dc_chunk > 1:
+            from chess_vision_tpu.train.loop import (
+                run_train_epoch_gathered_chunk,
+            )
+
+            state, train_metrics = run_train_epoch_gathered_chunk(
+                gtrain_k, gtrain, state, train_dd, base_rng, batch_size,
+                dc_chunk, seed=args.seed, epoch=epoch,
+                step_log=logger.log_step, schedule=schedule,
+            )
         elif use_device_cache:
             state, train_metrics = run_train_epoch_gathered(
                 gtrain, state, train_dd, base_rng, batch_size,
@@ -355,6 +380,19 @@ def main():
             )
             ood_metrics = (
                 run_eval_epoch_scan(eval_step, state, ood_dd, batch_size)
+                if ood_dd is not None else None
+            )
+        elif use_device_cache and dc_chunk > 1:
+            from chess_vision_tpu.train.loop import (
+                run_eval_epoch_gathered_chunk,
+            )
+
+            val_metrics = run_eval_epoch_gathered_chunk(
+                geval_k, geval, state, val_dd, batch_size, dc_chunk
+            )
+            ood_metrics = (
+                run_eval_epoch_gathered_chunk(
+                    geval_k, geval, state, ood_dd, batch_size, dc_chunk)
                 if ood_dd is not None else None
             )
         elif use_device_cache:
