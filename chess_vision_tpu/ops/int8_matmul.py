@@ -74,12 +74,26 @@ def _gelu_erf(x):
     return 0.5 * x * (1.0 + erf)
 
 
+def _gelu_sigmoid(x):
+    """Sigmoid-form GELU x*sigmoid(1.702x) (Hendrycks & Gimpel): one exp +
+    one reciprocal vs the ~18-op erf rational above. Profiling showed the
+    erf epilogue dominates the fc1 kernel (130 vs 322 T/s-eff for the
+    otherwise-identical fc2 kernel); max |delta| vs erf-GELU is ~0.02, far
+    below the per-row int8 quantization step that immediately follows.
+    Serving opt-in via CHESS_VISION_GELU=sigmoid (ops/quant.py)."""
+    return x / (1.0 + jnp.exp(-1.702 * x))
+
+
+def _gelu(x, approx: bool):
+    return _gelu_sigmoid(x) if approx else _gelu_erf(x)
+
+
 def _gelu_quant_kernel(xq_ref, xs_ref, wq_ref, ws_ref, b_ref,
-                       yq_ref, ys_ref, *, bb):
+                       yq_ref, ys_ref, *, bb, approx):
     w = wq_ref[...]
     for i in range(bb):
-        y = _gelu_erf(_matmul_f32(xq_ref[i], xs_ref[i], w,
-                                  ws_ref[0], b_ref[0]))
+        y = _gelu(_matmul_f32(xq_ref[i], xs_ref[i], w,
+                              ws_ref[0], b_ref[0]), approx)
         yq_ref[i], ys_ref[i] = _rowquant(y)
 
 
@@ -134,17 +148,19 @@ def _cost(B, N, K, O, transcendental_rows=0):
     )
 
 
-def int8_matmul_gelu_quant(xq, xs, wq, ws, bias, interpret: bool = False):
+def int8_matmul_gelu_quant(xq, xs, wq, ws, bias, interpret: bool = False,
+                           approx_gelu: bool = False):
     """fc1 + GELU + requant in one HBM pass.
 
     xq: (B, N, K) int8; xs: (B, N, 1) f32; wq: (K, O) int8; ws/bias: (O,).
-    Returns (yq (B, N, O) int8, ys (B, N, 1) f32).
+    Returns (yq (B, N, O) int8, ys (B, N, 1) f32). approx_gelu swaps the
+    erf rational for x*sigmoid(1.702x) (see _gelu_sigmoid).
     """
     B, N, K = xq.shape
     O = wq.shape[1]
     bb = _pick_bb(B, N * (K + 6 * O))  # int8 in + f32 acc + int8/f32 out
     return pl.pallas_call(
-        functools.partial(_gelu_quant_kernel, bb=bb),
+        functools.partial(_gelu_quant_kernel, bb=bb, approx=approx_gelu),
         out_shape=(
             jax.ShapeDtypeStruct((B, N, O), jnp.int8),
             jax.ShapeDtypeStruct((B, N, 1), jnp.float32),
@@ -263,9 +279,9 @@ def _pick_bm(M: int, bytes_per_row: int, budget: int = 48 * 2**20) -> int:
 
 
 def _gelu_quant_kernel_flat(xq_ref, xs_ref, wq_ref, ws_ref, b_ref,
-                            yq_ref, ys_ref):
-    y = _gelu_erf(_matmul_f32(xq_ref[...], xs_ref[...], wq_ref[...],
-                              ws_ref[0], b_ref[0]))
+                            yq_ref, ys_ref, *, approx):
+    y = _gelu(_matmul_f32(xq_ref[...], xs_ref[...], wq_ref[...],
+                          ws_ref[0], b_ref[0]), approx)
     yq_ref[...], ys_ref[...] = _rowquant(y)
 
 
@@ -307,7 +323,8 @@ def _cost_flat(M, K, O, transcendental_rows=0):
     )
 
 
-def int8_matmul_gelu_quant_flat(xq, xs, wq, ws, bias, interpret: bool = False):
+def int8_matmul_gelu_quant_flat(xq, xs, wq, ws, bias, interpret: bool = False,
+                                approx_gelu: bool = False):
     """fc1 + GELU + requant, flat layout.
 
     xq: (M, K) int8; xs: (M, 1) f32; wq: (K, O) int8; ws/bias: (O,).
@@ -317,7 +334,7 @@ def int8_matmul_gelu_quant_flat(xq, xs, wq, ws, bias, interpret: bool = False):
     O = wq.shape[1]
     bm = _pick_bm(M, K + 6 * O)
     return pl.pallas_call(
-        _gelu_quant_kernel_flat,
+        functools.partial(_gelu_quant_kernel_flat, approx=approx_gelu),
         out_shape=(
             jax.ShapeDtypeStruct((M, O), jnp.int8),
             jax.ShapeDtypeStruct((M, 1), jnp.float32),

@@ -250,6 +250,16 @@ def quant_dense_q(xq, x_scale, wq, w_scale, bias, out_dtype=jnp.bfloat16):
     return (acc.astype(jnp.float32) * x_scale * w_scale + bias).astype(out_dtype)
 
 
+def _approx_gelu() -> bool:
+    """CHESS_VISION_GELU=sigmoid swaps the fc1 epilogue's erf-rational GELU
+    for x*sigmoid(1.702x) on the int8 serving path (int8_matmul._gelu_sigmoid;
+    profiled: the erf polynomial is the single most expensive epilogue).
+    Read at trace time; default erf for exact reference parity."""
+    import os
+
+    return os.environ.get("CHESS_VISION_GELU", "erf") == "sigmoid"
+
+
 def _block_tpu(x, xq, xs, q, next_ln, num_heads=12, interpret=False):
     """One ViT block on the fused-kernel serving path.
 
@@ -278,7 +288,7 @@ def _block_tpu(x, xq, xs, q, next_ln, num_heads=12, interpret=False):
         x, q["norm2"]["scale"], q["norm2"]["bias"], interpret=interpret)
     gq, gs = int8_matmul_gelu_quant(
         hq, hs, q["fc1"]["wq"], q["fc1"]["scale"], q["fc1"]["bias"],
-        interpret=interpret)
+        interpret=interpret, approx_gelu=_approx_gelu())
     if next_ln is None:
         x = int8_matmul_res(
             gq, gs, q["fc2"]["wq"], q["fc2"]["scale"], q["fc2"]["bias"], x,
@@ -316,7 +326,7 @@ def _block_tpu_flat(x, xq, xs, q, next_ln, images, n_real,
         x, q["norm2"]["scale"], q["norm2"]["bias"], interpret=interpret)
     gq, gs = int8_matmul_gelu_quant_flat(
         hq, hs, q["fc1"]["wq"], q["fc1"]["scale"], q["fc1"]["bias"],
-        interpret=interpret)
+        interpret=interpret, approx_gelu=_approx_gelu())
     if next_ln is None:
         x = int8_matmul_res_flat(
             gq, gs, q["fc2"]["wq"], q["fc2"]["scale"], q["fc2"]["bias"], x,
@@ -367,7 +377,10 @@ def chessvit_int8_apply(pack: dict, images) -> dict:
     if jax.default_backend() == "tpu":
         import os
 
-        layout = os.environ.get("CHESS_VISION_INT8_LAYOUT", "flat")
+        # default: per-image blocked grid — measured 2937 vs 2816 boards/s
+        # for the flat M-blocked relayout (the +12% padded rows cost more
+        # than the larger row tiles buy; see EXPERIMENTS.md round-3 profile)
+        layout = os.environ.get("CHESS_VISION_INT8_LAYOUT", "block")
         if layout == "flat":
             # Flat M-blocked layout: pad the token axis to the 32-row int8
             # tile so (B, NP, D) <-> (B*NP, D) reshapes are layout-free, then

@@ -104,6 +104,49 @@ def test_int8_matmul_gelu_quant_matches_composition():
     assert (np.abs(a - b) <= tol).mean() > 0.99
 
 
+def test_int8_matmul_gelu_quant_sigmoid_approx():
+    """approx_gelu=True (CHESS_VISION_GELU=sigmoid serving mode) computes
+    x*sigmoid(1.702x): pin it against the XLA composition and bound its
+    deviation from the erf path well inside the int8 row-quant step."""
+    from chess_vision_tpu.ops.int8_matmul import (
+        int8_matmul_gelu_quant,
+        int8_matmul_gelu_quant_flat,
+    )
+    from chess_vision_tpu.ops.quant import fused_rowquant, quant_dense_q
+
+    rng = np.random.default_rng(9)
+    B, N, K, O = 2, 16, 64, 128
+    x = rng.normal(size=(B, N, K)).astype(np.float32)
+    w = rng.normal(size=(K, O)).astype(np.float32) / np.sqrt(K)
+    wq, ws = _quant_weight(w)
+    bias = rng.normal(size=(O,)).astype(np.float32) * 0.1
+
+    xq, xs = fused_rowquant(jnp.asarray(x), "none", interpret=True)
+    yq, ys = int8_matmul_gelu_quant(
+        xq, xs, jnp.asarray(wq), jnp.asarray(ws), jnp.asarray(bias),
+        interpret=True, approx_gelu=True)
+    fq, fs = int8_matmul_gelu_quant_flat(
+        xq.reshape(B * N, K), xs.reshape(B * N, 1), jnp.asarray(wq),
+        jnp.asarray(ws), jnp.asarray(bias), interpret=True, approx_gelu=True)
+    np.testing.assert_array_equal(np.asarray(yq).reshape(B * N, O),
+                                  np.asarray(fq))
+
+    h = np.asarray(quant_dense_q(xq, xs, jnp.asarray(wq), jnp.asarray(ws),
+                                 jnp.asarray(bias)), np.float32)
+    ref = h / (1.0 + np.exp(-1.702 * h))
+    a = _dequant(yq, ys)
+    step = np.abs(ref).max(axis=-1, keepdims=True) / 127
+    assert np.abs(a - ref).max() < 0.1
+    assert (np.abs(a - ref) <= 2 * step + 2e-2).mean() > 0.99
+    # sigmoid-vs-erf gap stays below ~0.021 everywhere (max of the
+    # difference function), i.e. within ~2.6 int8 steps at |h|~1
+    eq, _ = int8_matmul_gelu_quant(
+        xq, xs, jnp.asarray(wq), jnp.asarray(ws), jnp.asarray(bias),
+        interpret=True)
+    erf_out = _dequant(eq, _)
+    assert np.abs(a - erf_out).max() < 0.06
+
+
 def test_int8_matmul_res_ln_quant_matches_composition():
     from chess_vision_tpu.ops.int8_matmul import int8_matmul_res_ln_quant
     from chess_vision_tpu.ops.quant import (
