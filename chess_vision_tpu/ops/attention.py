@@ -115,25 +115,76 @@ def _kernel_attention(qkv: jnp.ndarray, num_heads: int,
     )(qkv, qkv, qkv)
 
 
+def _rowq8(x):
+    """Per-row int8 quantization of a (N, head_dim) slice, f32 in."""
+    amax = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), 1e-8)
+    xq = jnp.clip(jnp.round(x * (127.0 / amax)), -127, 127).astype(jnp.int8)
+    return xq, amax * (1.0 / 127.0)
+
+
+def _head_scores(q, k, sl, scale, qk_int8):
+    """(N, N) f32 scaled attention logits for one head slice.
+
+    qk_int8 runs the QK^T contraction in int8 with per-(row, head) dynamic
+    scales: head_dim=64 fills only half the 128-wide MXU contraction, and
+    the int8 MXU runs that underfilled pass at twice the bf16 rate
+    (profiled: attention is the serving path's second-largest cost at ~34
+    T/s-eff). Relative score error ~0.6% (two per-row int8 roundings into a
+    64-term dot), well under the output row-quant that follows; validated
+    end-to-end on the trained checkpoint (experiments/int8_eval.py)."""
+    if not qk_int8:
+        return jax.lax.dot_general(
+            q[:, sl], k[:, sl],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+    qq, qs = _rowq8(q[:, sl].astype(jnp.float32))
+    kq, ks = _rowq8(k[:, sl].astype(jnp.float32))
+    s32 = jax.lax.dot_general(
+        qq, kq,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return s32.astype(jnp.float32) * (qs * scale) * ks.reshape(1, -1)
+
+
+def _colq8(x):
+    """Per-column int8 quantization of a (N, head_dim) slice, f32 in."""
+    amax = jnp.maximum(jnp.max(jnp.abs(x), axis=0, keepdims=True), 1e-8)
+    xq = jnp.clip(jnp.round(x * (127.0 / amax)), -127, 127).astype(jnp.int8)
+    return xq, amax * (1.0 / 127.0)
+
+
+def _head_av(p, v, sl, pv_int8):
+    """(N, head_dim) f32 attention output P@V for one head slice.
+
+    pv_int8 also runs the value contraction in int8: P rows quantized
+    against their max (softmax output, >= 0), V per-COLUMN — the scale must
+    factor out of the sum over keys, so it cannot be per-key: sum_k
+    pq[q,k]*vq[k,d] * ps[q]*vs[d]."""
+    if not pv_int8:
+        return jax.lax.dot(
+            p.astype(v.dtype), v[:, sl],
+            preferred_element_type=jnp.float32,
+        )
+    pq, ps = _rowq8(p)
+    vq, vs = _colq8(v[:, sl].astype(jnp.float32))
+    o32 = jax.lax.dot(pq, vq, preferred_element_type=jnp.int32)
+    return o32.astype(jnp.float32) * ps * vs
+
+
 def _attn_quant_kernel(q_ref, k_ref, v_ref, oq_ref, os_ref, scratch,
-                       *, num_heads, head_dim, scale):
+                       *, num_heads, head_dim, scale, qk_int8, pv_int8):
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
     for i in range(num_heads):
         sl = slice(i * head_dim, (i + 1) * head_dim)
-        s = jax.lax.dot_general(
-            q[:, sl], k[:, sl],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
+        s = _head_scores(q, k, sl, scale, qk_int8)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
-        scratch[:, sl] = jax.lax.dot(
-            p.astype(v.dtype), v[:, sl],
-            preferred_element_type=jnp.float32,
-        )
+        scratch[:, sl] = _head_av(p, v, sl, pv_int8)
     # int8 serving path: the proj matmul consumes a quantized tensor anyway,
     # so quantize here — the full row is on-chip — instead of writing bf16 to
     # HBM and re-reading it in a separate rowquant pass.
@@ -144,8 +195,19 @@ def _attn_quant_kernel(q_ref, k_ref, v_ref, oq_ref, os_ref, scratch,
     os_ref[0] = amax * (1.0 / 127.0)
 
 
+def _attn_int8_mode() -> tuple[bool, bool]:
+    """CHESS_VISION_ATTN_QK: bf16 (default) | int8 (QK^T leg) | int8pv
+    (QK^T and P@V legs). Returns (qk_int8, pv_int8)."""
+    import os
+
+    mode = os.environ.get("CHESS_VISION_ATTN_QK", "bf16")
+    return mode in ("int8", "int8pv"), mode == "int8pv"
+
+
 def fused_qkv_attention_quant(qkv: jnp.ndarray, num_heads: int,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              qk_int8: bool | None = None,
+                              pv_int8: bool | None = None):
     """(B, N, 3*H*Dh) packed qkv -> (int8 (B, N, H*Dh), f32 (B, N, 1)).
 
     Attention + dynamic per-token int8 quantization of the output in one
@@ -155,6 +217,11 @@ def fused_qkv_attention_quant(qkv: jnp.ndarray, num_heads: int,
     B, N, C3 = qkv.shape
     D = C3 // 3
     head_dim = D // num_heads
+    env_qk, env_pv = _attn_int8_mode()
+    if qk_int8 is None:
+        qk_int8 = env_qk
+    if pv_int8 is None:
+        pv_int8 = env_pv
     if jax.default_backend() != "tpu" and not interpret:
         o = _reference_attention(qkv, num_heads).astype(jnp.float32)
         amax = jnp.maximum(jnp.max(jnp.abs(o), axis=-1, keepdims=True), 1e-8)
@@ -169,7 +236,8 @@ def fused_qkv_attention_quant(qkv: jnp.ndarray, num_heads: int,
     )
     return pl.pallas_call(
         functools.partial(_attn_quant_kernel, num_heads=num_heads,
-                          head_dim=head_dim, scale=scale),
+                          head_dim=head_dim, scale=scale, qk_int8=qk_int8,
+                          pv_int8=pv_int8),
         out_shape=(
             jax.ShapeDtypeStruct((B, N, D), jnp.int8),
             jax.ShapeDtypeStruct((B, N, 1), jnp.float32),
@@ -231,7 +299,8 @@ def fused_qkv_attention(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
 
 
 def _attn_quant_kernel_flat(q_ref, k_ref, v_ref, oq_ref, os_ref, scratch,
-                            *, num_heads, head_dim, scale, n_real):
+                            *, num_heads, head_dim, scale, n_real, qk_int8,
+                            pv_int8):
     """One image per grid cell on the FLAT layout: refs are (NP, D) slabs of
     the (M, 3D) qkv stream. Key columns >= n_real (token padding) are masked
     out of the softmax; padded query rows produce garbage that stays
@@ -244,19 +313,12 @@ def _attn_quant_kernel_flat(q_ref, k_ref, v_ref, oq_ref, os_ref, scratch,
     key_pad = jax.lax.broadcasted_iota(jnp.int32, (NP, NP), 1) >= n_real
     for i in range(num_heads):
         sl = slice(i * head_dim, (i + 1) * head_dim)
-        s = jax.lax.dot_general(
-            q[:, sl], k[:, sl],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
+        s = _head_scores(q, k, sl, scale, qk_int8)
         s = jnp.where(key_pad, -1e30, s)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
-        scratch[:, sl] = jax.lax.dot(
-            p.astype(v.dtype), v[:, sl],
-            preferred_element_type=jnp.float32,
-        )
+        scratch[:, sl] = _head_av(p, v, sl, pv_int8)
     o = scratch[...].astype(jnp.float32)
     amax = jnp.maximum(jnp.max(jnp.abs(o), axis=-1, keepdims=True), 1e-8)
     oq_ref[...] = jnp.clip(jnp.round(o * (127.0 / amax)), -127, 127
@@ -265,7 +327,9 @@ def _attn_quant_kernel_flat(q_ref, k_ref, v_ref, oq_ref, os_ref, scratch,
 
 
 def fused_qkv_attention_quant_flat(qkv, images: int, n_real: int,
-                                   num_heads: int, interpret: bool = False):
+                                   num_heads: int, interpret: bool = False,
+                                   qk_int8: bool | None = None,
+                                   pv_int8: bool | None = None):
     """Flat-layout attention + int8 output quant for the serving path.
 
     qkv: (M, 3*H*Dh) packed qkv with M = images * NP (NP = padded tokens per
@@ -277,6 +341,11 @@ def fused_qkv_attention_quant_flat(qkv, images: int, n_real: int,
     head_dim = D // num_heads
     NP = M // images
     assert NP * images == M, (M, images)
+    env_qk, env_pv = _attn_int8_mode()
+    if qk_int8 is None:
+        qk_int8 = env_qk
+    if pv_int8 is None:
+        pv_int8 = env_pv
     scale = 1.0 / math.sqrt(head_dim)
     if jax.default_backend() != "tpu" and not interpret:
         # XLA fallback (CPU test meshes): identical math on the real rows;
@@ -297,7 +366,8 @@ def fused_qkv_attention_quant_flat(qkv, images: int, n_real: int,
     )
     return pl.pallas_call(
         functools.partial(_attn_quant_kernel_flat, num_heads=num_heads,
-                          head_dim=head_dim, scale=scale, n_real=n_real),
+                          head_dim=head_dim, scale=scale, n_real=n_real,
+                          qk_int8=qk_int8, pv_int8=pv_int8),
         out_shape=(
             jax.ShapeDtypeStruct((M, D), jnp.int8),
             jax.ShapeDtypeStruct((M, 1), jnp.float32),

@@ -36,6 +36,48 @@ def test_fused_qkv_attention_dispatches_to_reference_on_cpu(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
 
+def test_attn_quant_int8_qk_close_to_bf16(rng):
+    """CHESS_VISION_ATTN_QK=int8 runs the QK^T contraction in int8 with
+    per-(row, head) dynamic scales. Dequantized outputs must stay within a
+    few output-quant steps of the bf16-score kernel, for both layouts."""
+    from chess_vision_tpu.ops.attention import (
+        fused_qkv_attention_quant,
+        fused_qkv_attention_quant_flat,
+    )
+
+    B, N, H, Dh = 2, 33, 4, 64
+    qkv = jnp.asarray(
+        rng.normal(size=(B, N, 3 * H * Dh)).astype(np.float32), jnp.bfloat16
+    )
+    oq_b, os_b = fused_qkv_attention_quant(qkv, H, interpret=True,
+                                           qk_int8=False)
+    oq_i, os_i = fused_qkv_attention_quant(qkv, H, interpret=True,
+                                           qk_int8=True)
+    a = np.asarray(oq_b, np.float32) * np.asarray(os_b)
+    b = np.asarray(oq_i, np.float32) * np.asarray(os_i)
+    # int8 scores perturb softmax weights by <~1%; outputs are O(1)
+    np.testing.assert_allclose(a, b, atol=0.08)
+
+    NP = 48
+    qpad = jnp.pad(qkv, ((0, 0), (0, NP - N), (0, 0)))
+    fq, fs = fused_qkv_attention_quant_flat(
+        qpad.reshape(B * NP, 3 * H * Dh), B, N, H, interpret=True,
+        qk_int8=True)
+    f = (np.asarray(fq, np.float32) * np.asarray(fs)).reshape(B, NP, -1)
+    np.testing.assert_allclose(f[:, :N], b, atol=0.08)
+
+    # int8pv (P@V leg also int8: P per-row, V per-column scales)
+    oq_p, os_p = fused_qkv_attention_quant(qkv, H, interpret=True,
+                                           qk_int8=True, pv_int8=True)
+    c = np.asarray(oq_p, np.float32) * np.asarray(os_p)
+    np.testing.assert_allclose(a, c, atol=0.15)
+    fqp, fsp = fused_qkv_attention_quant_flat(
+        qpad.reshape(B * NP, 3 * H * Dh), B, N, H, interpret=True,
+        qk_int8=True, pv_int8=True)
+    fp = (np.asarray(fqp, np.float32) * np.asarray(fsp)).reshape(B, NP, -1)
+    np.testing.assert_allclose(fp[:, :N], c, atol=0.08)
+
+
 def test_rowquant_ln_matches_xla(rng):
     x = jnp.asarray(rng.normal(size=(2, 257, 768)).astype(np.float32),
                     jnp.bfloat16)
