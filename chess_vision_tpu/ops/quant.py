@@ -251,13 +251,15 @@ def quant_dense_q(xq, x_scale, wq, w_scale, bias, out_dtype=jnp.bfloat16):
 
 
 def _approx_gelu() -> bool:
-    """CHESS_VISION_GELU=sigmoid swaps the fc1 epilogue's erf-rational GELU
-    for x*sigmoid(1.702x) on the int8 serving path (int8_matmul._gelu_sigmoid;
-    profiled: the erf polynomial is the single most expensive epilogue).
-    Read at trace time; default erf for exact reference parity."""
+    """CHESS_VISION_GELU selects the int8 serving path's fc1 GELU: sigmoid
+    (default) is x*sigmoid(1.702x) — one exp vs the ~18-op erf rational,
+    worth +18% end-to-end (2,937 -> 3,466 boards/s, EXPERIMENTS.md round 3)
+    — and erf restores the reference-exact form. Validated on the trained
+    ViT checkpoint: 100% per-square argmax agreement with the bf16/erf path
+    (experiments/int8_eval.py, 2026-08-17). Read at trace time."""
     import os
 
-    return os.environ.get("CHESS_VISION_GELU", "erf") == "sigmoid"
+    return os.environ.get("CHESS_VISION_GELU", "sigmoid") == "sigmoid"
 
 
 def _block_tpu(x, xq, xs, q, next_ln, num_heads=12, interpret=False):
@@ -350,7 +352,10 @@ def _block(x, q, num_heads=12):
                         q["proj"]["bias"]).astype(jnp.bfloat16)
     h = _layernorm(x, q["norm2"])
     h = quant_dense(h, q["fc1"]["wq"], q["fc1"]["scale"], q["fc1"]["bias"])
-    h = jax.nn.gelu(h, approximate=False)
+    if _approx_gelu():  # same CHESS_VISION_GELU semantics as the TPU kernels
+        h = h * jax.nn.sigmoid(1.702 * h)
+    else:
+        h = jax.nn.gelu(h, approximate=False)
     x = x + quant_dense(h, q["fc2"]["wq"], q["fc2"]["scale"],
                         q["fc2"]["bias"]).astype(jnp.bfloat16)
     return x
