@@ -30,6 +30,7 @@ import numpy as np
 from chess_vision_tpu.datagen.positions import Position, sample_positions
 from chess_vision_tpu.datagen.render import (
     BoardStyle,
+    filter_piece_styles,
     random_style,
     render_board,
     save_board,
@@ -81,6 +82,7 @@ def generate_split(
     workers: int | None = None,
     assets_dir: str | None = None,
     start_index: int = 0,
+    style_patterns: list[str] | None = None,
 ) -> int:
     """Generate one split. sources = [("random", n), ("game", m), ...].
 
@@ -90,6 +92,9 @@ def generate_split(
     # Discover image piece sets / board textures BEFORE pre-assignment so
     # the style pool is fixed in the main process (determinism discipline).
     set_assets_dir(assets_dir)
+    # Optional style-holdout pool (fnmatch patterns), fixed in the main
+    # process like the rest of the pre-assignment state.
+    style_pool = filter_piece_styles(style_patterns)
     rng = np.random.default_rng(seed)
 
     positions: list[Position] = []
@@ -108,7 +113,7 @@ def generate_split(
     for i, pos in enumerate(positions):
         style = random_style(rng, highlight_pct=highlight_pct,
                              flip_pct=flip_pct, texture_pct=texture_pct,
-                             last_move=pos.last_move)
+                             last_move=pos.last_move, styles=style_pool)
         render_seed = int(rng.integers(0, 2**31 - 1))
         pos_fields = (pos.placement, pos.turn, pos.castling, pos.en_passant,
                       pos.legal)
@@ -172,6 +177,7 @@ def run_from_config(path: str) -> None:
             out_dir, sources, size=size, seed=seed, fmt=fmt,
             highlight_pct=highlight_pct, flip_pct=flip_pct,
             texture_pct=texture_pct, assets_dir=assets_dir,
+            style_patterns=split.get("styles") or rendering.get("styles"),
         )
         print(f"split {name}: {n} images -> {out_dir}")
 
@@ -193,6 +199,10 @@ def main():
     parser.add_argument("--start-index", type=int, default=0,
                         help="Append mode: continue filenames from this "
                              "index and append to the existing manifest")
+    parser.add_argument("--styles", default=None,
+                        help="Comma-separated fnmatch patterns restricting "
+                             "the piece-style pool (e.g. 'img:geo_*') — "
+                             "for style-holdout OOD splits")
     args = parser.parse_args()
 
     if args.config:
@@ -210,6 +220,7 @@ def main():
         args.out, sources, size=args.size, seed=args.seed, fmt=args.format,
         workers=args.workers, assets_dir=args.assets_dir,
         start_index=args.start_index,
+        style_patterns=args.styles.split(",") if args.styles else None,
     )
     print(f"{n} images -> {args.out}")
 

@@ -204,14 +204,35 @@ def _random_palette(rng: np.random.Generator) -> tuple[tuple, tuple]:
     return to_rgb(light_l), to_rgb(dark_l)
 
 
+def filter_piece_styles(patterns: list[str] | None) -> list[str]:
+    """Restrict the style pool with fnmatch patterns (e.g. ["img:geo_*"]).
+
+    Enables style-holdout OOD splits: train on one pool, test on styles the
+    model never saw — the offline analogue of the reference's Kaggle OOD
+    evaluation (its pieces are drawn by renderers absent from training)."""
+    import fnmatch
+
+    styles = available_piece_styles()
+    if not patterns:
+        return styles
+    keep = [s for s in styles
+            if any(fnmatch.fnmatch(s, p) for p in patterns)]
+    if not keep:
+        raise ValueError(
+            f"style filter {patterns} matches none of {styles}")
+    return keep
+
+
 def random_style(
     rng: np.random.Generator,
     highlight_pct: float = 0.6,
     flip_pct: float = 0.3,
     texture_pct: float = 0.5,
     last_move: tuple | None = None,
+    styles: list[str] | None = None,
 ) -> BoardStyle:
-    styles = available_piece_styles()
+    if styles is None:
+        styles = available_piece_styles()
     piece_style = styles[int(rng.integers(0, len(styles)))]
     if rng.random() < 0.5:
         light, dark = _FIXED_PALETTES[int(rng.integers(0, len(_FIXED_PALETTES)))]

@@ -290,3 +290,36 @@ def test_synth_boards_deterministic(tmp_path):
     a = (tmp_path / "a" / "synth_wood0.jpg").read_bytes()
     b = (tmp_path / "b" / "synth_wood0.jpg").read_bytes()
     assert a == b
+
+
+def test_style_filter_restricts_pool(tmp_path, rng):
+    """--styles fnmatch patterns restrict the style pool (style-holdout OOD
+    splits); unmatched patterns fail loudly."""
+    import pytest
+
+    from chess_vision_tpu.datagen.generate import generate_split
+    from chess_vision_tpu.datagen.render import (
+        filter_piece_styles,
+        set_assets_dir,
+    )
+
+    assert filter_piece_styles(None) == filter_piece_styles([])
+    assert filter_piece_styles(["mono_*"]) == [
+        "mono_classic", "mono_solid", "mono_outline",
+        "mono_bold_classic", "mono_bold_solid", "mono_bold_outline",
+    ]
+    with pytest.raises(ValueError):
+        filter_piece_styles(["img:geo_*"])  # no assets discovered
+
+    out = tmp_path / "geo"
+    n = generate_split(str(out), [("random", 6)], size=64, seed=5,
+                       workers=1, style_patterns=["sans_solid", "mono_*"])
+    assert n == 6
+    import csv
+
+    with open(out / "manifest.csv", newline="") as f:
+        styles = {row["style"] for row in csv.DictReader(f)}
+    assert styles <= {"sans_solid", "mono_classic", "mono_solid",
+                      "mono_outline", "mono_bold_classic",
+                      "mono_bold_solid", "mono_bold_outline"}
+    set_assets_dir(None)
