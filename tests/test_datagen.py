@@ -323,3 +323,34 @@ def test_style_filter_restricts_pool(tmp_path, rng):
                       "mono_outline", "mono_bold_classic",
                       "mono_bold_solid", "mono_bold_outline"}
     set_assets_dir(None)
+
+
+def test_lathe_holdout_sets(tmp_path):
+    """Lathe (revolved-profile) holdout sets: 12 complete sprites per set,
+    discovered by the renderer, silhouettes distinct from the geo families
+    (they are the post-150k-retrain shape-OOD pool and must stay novel)."""
+    import numpy as np
+    from PIL import Image
+
+    from chess_vision_tpu.datagen import drawn_pieces, lathe_pieces
+    from chess_vision_tpu.datagen.render import discover_assets
+
+    out = tmp_path / "holdout" / "pieces"
+    n = lathe_pieces.synthesize(str(out))
+    assert n == 4
+    sets, _ = discover_assets(str(tmp_path / "holdout"))
+    assert sorted(sets) == ["lathe_classic", "lathe_classic_satin",
+                            "lathe_modern", "lathe_modern_satin"]
+    assert all(len(v) == 12 for v in sets.values())
+
+    for kind in lathe_pieces.KINDS:
+        lat = np.asarray(lathe_pieces.silhouette(kind, "lathe_classic"),
+                         dtype=np.float32) / 255.0
+        fill = (lat > 0.5).mean()
+        assert 0.03 < fill < 0.7, (kind, fill)
+        for fam in drawn_pieces.FAMILIES:
+            geo = np.asarray(drawn_pieces.silhouette(kind, fam),
+                             dtype=np.float32) / 255.0
+            iou = ((lat > 0.5) & (geo > 0.5)).sum() / max(
+                ((lat > 0.5) | (geo > 0.5)).sum(), 1)
+            assert iou < 0.80, (kind, fam, iou)
