@@ -1,0 +1,275 @@
+#!/usr/bin/env python
+"""Unattended executor for the round-3 TPU queue (RUNBOOK_r3_tpu_queue.md).
+
+The relay worker has been UNAVAILABLE since 2026-08-17 ~20:10 UTC and the
+queued items (bench evidence, int8 attention benches, train-step microbench,
+150k-corpus ViT retrain, CNN/square resumes, shape-OOD evals) must execute
+the moment it recovers — including while nobody is watching. This supervisor:
+
+  * waits for the TPU (bounded probe loop, one probe process at a time);
+  * runs each queue step as a child process with BOTH an overall timeout and
+    a log-growth stall watchdog (mid-epoch tunnel wedges are the observed
+    failure mode: the process hangs forever making no progress);
+  * kills by exact pid only (never by pattern — CLAUDE.md);
+  * retries training steps with --resume from latest.ckpt (the checkpoint
+    story is crash-safe; resume replays deterministically);
+  * re-probes between steps and pauses the queue while the backend is gone;
+  * appends per-step status to experiments/logs/r3queue/status.jsonl.
+
+stdlib only — this process must never import jax (tunnel discipline: a
+second jax process alongside an active TPU job can wedge the relay).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LOGDIR = os.path.join(REPO, "experiments", "logs", "r3queue")
+STATUS = os.path.join(LOGDIR, "status.jsonl")
+
+PROBE_SRC = (
+    "from chess_vision_tpu.utils.platform import apply_platform_env;"
+    "apply_platform_env();"
+    "import jax, numpy as np, jax.numpy as jnp;"
+    "y=(jnp.ones((8,8))@jnp.ones((8,8)));"
+    "print('MATMUL OK:', np.asarray(y)[0,0], len(jax.devices()))"
+)
+
+
+def log(msg: str) -> None:
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def record(step: str, **kw) -> None:
+    os.makedirs(LOGDIR, exist_ok=True)
+    with open(STATUS, "a") as f:
+        f.write(json.dumps({"t": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                            "step": step, **kw}) + "\n")
+
+
+def probe(timeout_s: int = 300) -> bool:
+    """One bounded backend-liveness check (its own process, exact kill)."""
+    try:
+        out = subprocess.run(
+            [sys.executable, "-u", "-c", PROBE_SRC],
+            cwd=REPO, capture_output=True, text=True, timeout=timeout_s,
+        )
+        ok = "MATMUL OK" in (out.stdout + out.stderr)
+    except subprocess.TimeoutExpired:
+        ok = False
+    log(f"probe -> {'UP' if ok else 'down'}")
+    return ok
+
+
+def wait_for_tpu(max_s: float, interval_s: float = 480.0) -> bool:
+    t0 = time.time()
+    while time.time() - t0 < max_s:
+        if probe():
+            return True
+        time.sleep(interval_s)
+    return False
+
+
+def run_step(name: str, cmd: list[str], timeout_s: float,
+             stall_s: float = 1800.0, env: dict | None = None) -> dict:
+    """Run cmd; kill (exact pid) on overall timeout or when the log stops
+    growing for stall_s. Returns {"rc": int, "why": str, "log": path}."""
+    os.makedirs(LOGDIR, exist_ok=True)
+    logpath = os.path.join(LOGDIR, f"{name}.log")
+    full_env = dict(os.environ, PYTHONUNBUFFERED="1", **(env or {}))
+    log(f"step {name}: {' '.join(cmd)}")
+    with open(logpath, "a") as lf:
+        lf.write(f"\n===== {time.strftime('%Y-%m-%dT%H:%M:%S')} "
+                 f"{' '.join(cmd)}\n")
+        lf.flush()
+        proc = subprocess.Popen(cmd, cwd=REPO, stdout=lf,
+                                stderr=subprocess.STDOUT, env=full_env)
+        t0 = time.time()
+        last_size, last_growth = 0, time.time()
+        why = "ok"
+        while True:
+            rc = proc.poll()
+            if rc is not None:
+                break
+            now = time.time()
+            size = os.path.getsize(logpath)
+            if size != last_size:
+                last_size, last_growth = size, now
+            if now - t0 > timeout_s:
+                why = f"timeout {timeout_s:.0f}s"
+            elif now - last_growth > stall_s:
+                why = f"stalled {stall_s:.0f}s (no log growth)"
+            if why != "ok":
+                log(f"step {name}: {why} — SIGTERM pid {proc.pid}")
+                proc.send_signal(signal.SIGTERM)
+                try:
+                    rc = proc.wait(timeout=60)
+                except subprocess.TimeoutExpired:
+                    proc.kill()
+                    rc = proc.wait()
+                break
+            time.sleep(20)
+    res = {"rc": rc, "why": why, "log": logpath,
+           "wall_s": round(time.time() - t0, 1)}
+    log(f"step {name}: rc={rc} ({why}, {res['wall_s']}s)")
+    record(name, **res)
+    return res
+
+
+def bench_value(logpath: str):
+    """Last JSON line's 'value' from a bench log (None if absent)."""
+    try:
+        with open(logpath) as f:
+            for line in reversed(f.readlines()):
+                line = line.strip()
+                if line.startswith("{"):
+                    return json.loads(line).get("value")
+    except (OSError, json.JSONDecodeError):
+        pass
+    return None
+
+
+def train_with_retries(name: str, base_cmd: list[str], ckpt_dir: str,
+                       timeout_s: float, stall_s: float,
+                       attempts: int = 4, fresh_first: bool = False) -> bool:
+    """Run a training step; on wedge/crash, re-probe and resume from
+    latest.ckpt. fresh_first=True starts attempt 0 without --resume."""
+    latest = os.path.join(ckpt_dir, "latest.ckpt")
+    for attempt in range(attempts):
+        cmd = list(base_cmd)
+        if (not fresh_first or attempt > 0) and os.path.exists(latest):
+            cmd = cmd[:2] + ["--resume", latest] + cmd[2:]
+        res = run_step(f"{name}_a{attempt}", cmd, timeout_s, stall_s)
+        if res["rc"] == 0:
+            return True
+        log(f"{name}: attempt {attempt} failed — re-probing before retry")
+        if not wait_for_tpu(max_s=3600):
+            log(f"{name}: backend gone >1h, abandoning this step")
+            return False
+    return False
+
+
+def main() -> None:
+    os.makedirs(LOGDIR, exist_ok=True)
+    only = sys.argv[sys.argv.index("--only") + 1].split(",") \
+        if "--only" in sys.argv else None
+
+    def enabled(step: str) -> bool:
+        return only is None or step in only
+
+    record("runner_start", pid=os.getpid(), only=only)
+    if not wait_for_tpu(max_s=float(
+            os.environ.get("CVT_QUEUE_WAIT_H", "10")) * 3600):
+        record("runner_end", ok=False, reason="tpu never came up")
+        log("TPU never came up within the wait budget; exiting")
+        return
+
+    py = sys.executable
+
+    # -- 1. driver-style bench (headline evidence) ------------------------
+    if enabled("bench"):
+        run_step("bench_default", [py, "bench.py"], timeout_s=900)
+
+    # -- 2. attention int8 QK / PV benches + accuracy data ----------------
+    if enabled("attn"):
+        run_step("bench_attn_qk", [py, "bench.py"], timeout_s=900,
+                 env={"CHESS_VISION_ATTN_QK": "int8"})
+        run_step("bench_attn_pv", [py, "bench.py"], timeout_s=900,
+                 env={"CHESS_VISION_ATTN_QK": "int8pv"})
+        v0 = bench_value(os.path.join(LOGDIR, "bench_default.log"))
+        vq = bench_value(os.path.join(LOGDIR, "bench_attn_qk.log"))
+        vp = bench_value(os.path.join(LOGDIR, "bench_attn_pv.log"))
+        log(f"bench: default={v0} qk={vq} pv={vp}")
+        # accuracy evidence for the candidate modes (cheap; gather always)
+        for mode in ("int8", "int8pv"):
+            run_step(f"int8_eval_attn_{mode}", [
+                py, "experiments/int8_eval.py",
+                "--checkpoint", "/root/ckpt_vit/best.ckpt",
+                "--test-dir", "data/test", "--max-samples", "512",
+            ], timeout_s=1800, env={"CHESS_VISION_ATTN_QK": mode})
+
+    # -- 3. compute-bound train-step throughput (VERDICT r2 #6) -----------
+    if enabled("trainbench"):
+        run_step("microbench_train_256",
+                 [py, "experiments/microbench.py", "train", "256", "8"],
+                 timeout_s=1200)
+        run_step("microbench_train_128",
+                 [py, "experiments/microbench.py", "train", "128", "8"],
+                 timeout_s=1200)
+
+    # -- 4. 150k-corpus ViT retrain (VERDICT r2 #8) ------------------------
+    if enabled("vit150"):
+        train_with_retries(
+            "train_vit150",
+            [py, "train.py", "--config", "configs/vit_tpu.yaml", "--set",
+             "model.pretrained=false", "data.transport=ycbcr420",
+             "data.num_workers=8", "data.max_samples=100000",
+             "data.ood_val_dir=data/test_random",
+             "data.device_cache=true", "data.device_cache_budget_gb=11",
+             "data.device_cache_chunk=16",
+             "training.epochs=10", "training.batch_size=128",
+             "training.lr=0.0002",
+             "checkpointing.save_dir=/root/ckpt_vit150",
+             "logging.tensorboard_dir=/root/runs_vit150"],
+            ckpt_dir="/root/ckpt_vit150",
+            timeout_s=7 * 3600, stall_s=2400, fresh_first=True)
+
+    # -- 5. post-retrain shape-OOD evals (geo now in-pool; lathe held out) -
+    if enabled("evals") and os.path.exists("/root/ckpt_vit150/best.ckpt"):
+        for tag, tdir, cap in (
+            ("geo", "data/test_geo", None),
+            ("lathe", "data/test_lathe", None),
+            ("random", "data/test_random", "2048"),
+            ("test", "data/test", "2048"),
+        ):
+            cmd = [py, "evaluate.py",
+                   "--checkpoint", "/root/ckpt_vit150/best.ckpt",
+                   "--test-dir", tdir, "--batch-size", "64"]
+            if cap:
+                cmd += ["--max-samples", cap]
+            run_step(f"eval_vit150_{tag}", cmd, timeout_s=3600, stall_s=900)
+
+    # -- 6. CNN resume to epoch 3 (VERDICT r2 #5 depth) --------------------
+    if enabled("cnn"):
+        train_with_retries(
+            "train_cnn_resume",
+            [py, "train.py", "--config", "configs/cnn_tpu.yaml", "--set",
+             "model.pretrained=false", "data.transport=ycbcr420",
+             "data.num_workers=4", "data.max_samples=50000",
+             "data.ood_val_dir=data/test_random",
+             "data.device_cache_chunk=16",
+             "training.epochs=3", "training.batch_size=128",
+             "training.lr=0.0002",
+             "checkpointing.save_dir=/root/ckpt_cnn",
+             "logging.tensorboard_dir=/root/runs_cnn"],
+            ckpt_dir="/root/ckpt_cnn",
+            timeout_s=3 * 3600, stall_s=2400)
+
+    # -- 7. square resume (pin max_samples — ckpt split predates 150k) -----
+    if enabled("square"):
+        train_with_retries(
+            "train_square_resume",
+            [py, "train.py", "--config", "configs/square_tpu.yaml", "--set",
+             "model.pretrained=false", "model.pin_backbone_bn=false",
+             "data.transport=ycbcr420", "data.max_samples=50000",
+             "data.ood_val_dir=data/test_random",
+             "data.device_cache_chunk=16",
+             "training.batch_size=128", "training.lr=0.0003",
+             "training.epochs=10",
+             "checkpointing.save_dir=/root/ckpt_square",
+             "logging.tensorboard_dir=/root/runs_sq"],
+            ckpt_dir="/root/ckpt_square",
+            timeout_s=3 * 3600, stall_s=2400)
+
+    record("runner_end", ok=True)
+    log("queue complete")
+
+
+if __name__ == "__main__":
+    main()
