@@ -23,7 +23,12 @@ import numpy as np
 from chess_vision_tpu.config import apply_overrides, get_data_config, load_config
 from chess_vision_tpu.data import BatchLoader, ChessDataset, seeded_split
 from chess_vision_tpu.models import build_model, param_count
-from chess_vision_tpu.parallel.mesh import make_mesh, param_sharding, replicated
+from chess_vision_tpu.parallel.mesh import (
+    make_mesh,
+    make_mesh_2d,
+    param_sharding,
+    replicated,
+)
 from chess_vision_tpu.train.loop import (
     jit_steps,
     make_steps,
@@ -115,8 +120,25 @@ def main():
             args.resume = candidate
             print(f"Auto-resuming from {candidate}")
 
-    mesh = make_mesh()
+    # --- Mesh (parallelism surface) ---
+    # training.tensor_parallel=T shards every transformer block's matmuls
+    # over the "model" axis of a (data, model) mesh (Megatron-style column/
+    # row-parallel, annotation-only — XLA GSPMD inserts the collectives);
+    # training.fsdp=true additionally shards the remaining large params over
+    # the data axis. Defaults: pure batch DP, params replicated.
+    tp = int(cfg["training"].get("tensor_parallel", 1) or 1)
+    fsdp_flag = str(cfg["training"].get("fsdp", False)).lower() in (
+        "true", "1", "yes")
+    if tp > 1:
+        # The single-tile Pallas attention custom call cannot be partitioned
+        # by GSPMD over the model axis; the XLA attention math can.
+        os.environ.setdefault("CHESS_VISION_NO_PALLAS_ATTN", "1")
+        mesh = make_mesh_2d(tp)
+        print(f"Tensor parallel: model axis {tp} wide (XLA attention path)")
+    else:
+        mesh = make_mesh()
     n_dev = mesh.devices.size
+    n_data = mesh.shape.get("data", n_dev) if tp > 1 else n_dev
     print(f"Devices: {n_dev} x {jax.devices()[0].device_kind}")
 
     # --- Data ---
@@ -134,9 +156,10 @@ def main():
         len(dataset), cfg["data"]["val_split"], seed=42
     )
     batch_size = cfg["training"]["batch_size"]
-    if batch_size % n_dev != 0:
+    if batch_size % n_data != 0:
         raise ValueError(
-            f"batch_size {batch_size} must be divisible by {n_dev} devices"
+            f"batch_size {batch_size} must be divisible by the data-axis "
+            f"size {n_data}"
         )
     num_workers = cfg["data"].get("num_workers", 6)
     transport = cfg["data"].get("transport", "rgb")
@@ -244,13 +267,30 @@ def main():
     steps_per_epoch = len(train_loader)
     state, schedule = create_train_state(cfg, variables, steps_per_epoch)
 
-    # Place state on the mesh (replicated params; batch sharded per step).
-    shardings = state.replace(
-        params=param_sharding(mesh, state.params),
-        opt_state=jax.tree.map(lambda _: replicated(mesh), state.opt_state),
-        batch_stats=jax.tree.map(lambda _: replicated(mesh), state.batch_stats),
-        step=replicated(mesh),
-    )
+    # Place state on the mesh (batch sharded per step inside shard_batch).
+    if tp > 1:
+        from chess_vision_tpu.parallel.mesh import tp_tree_sharding
+
+        # same suffix rules shard the AdamW moment trees like their params,
+        # so the optimizer update stays fully sharded
+        shardings = state.replace(
+            params=tp_tree_sharding(mesh, state.params, fsdp=fsdp_flag),
+            opt_state=tp_tree_sharding(mesh, state.opt_state, fsdp=fsdp_flag),
+            batch_stats=jax.tree.map(
+                lambda _: replicated(mesh), state.batch_stats),
+            step=replicated(mesh),
+        )
+    else:
+        shardings = state.replace(
+            params=param_sharding(
+                mesh, state.params,
+                mode="fsdp" if fsdp_flag else "replicated"),
+            opt_state=jax.tree.map(
+                lambda _: replicated(mesh), state.opt_state),
+            batch_stats=jax.tree.map(
+                lambda _: replicated(mesh), state.batch_stats),
+            step=replicated(mesh),
+        )
     state = jax.device_put(state, shardings)
 
     # --- Resume ---
