@@ -53,8 +53,18 @@ def record(step: str, **kw) -> None:
                             "step": step, **kw}) + "\n")
 
 
+def wait_while_held() -> None:
+    """Pause while /tmp/tpu_hold exists (the interactive session uses it to
+    run CPU-side jax work — pytest, smoke runs — without any chance of
+    overlapping a TPU process; see tunnel discipline in CLAUDE.md)."""
+    while os.path.exists("/tmp/tpu_hold"):
+        log("held by /tmp/tpu_hold; sleeping 60s")
+        time.sleep(60)
+
+
 def probe(timeout_s: int = 300) -> bool:
     """One bounded backend-liveness check (its own process, exact kill)."""
+    wait_while_held()
     try:
         out = subprocess.run(
             [sys.executable, "-u", "-c", PROBE_SRC],
@@ -80,6 +90,7 @@ def run_step(name: str, cmd: list[str], timeout_s: float,
              stall_s: float = 1800.0, env: dict | None = None) -> dict:
     """Run cmd; kill (exact pid) on overall timeout or when the log stops
     growing for stall_s. Returns {"rc": int, "why": str, "log": path}."""
+    wait_while_held()
     os.makedirs(LOGDIR, exist_ok=True)
     logpath = os.path.join(LOGDIR, f"{name}.log")
     full_env = dict(os.environ, PYTHONUNBUFFERED="1", **(env or {}))
@@ -234,6 +245,14 @@ def main() -> None:
             if cap:
                 cmd += ["--max-samples", cap]
             run_step(f"eval_vit150_{tag}", cmd, timeout_s=3600, stall_s=900)
+        # serving-accuracy claim refreshed on the newest flagship: bf16 vs
+        # int8 (whatever attention mode is default) through the exact
+        # serving stack
+        run_step("int8_eval_vit150", [
+            py, "experiments/int8_eval.py",
+            "--checkpoint", "/root/ckpt_vit150/best.ckpt",
+            "--test-dir", "data/test", "--max-samples", "512",
+        ], timeout_s=1800)
 
     # -- 6. CNN resume to epoch 3 (VERDICT r2 #5 depth) --------------------
     if enabled("cnn"):
