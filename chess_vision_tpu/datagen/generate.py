@@ -173,10 +173,19 @@ def run_from_config(path: str) -> None:
                      if k not in ("type", "count")}
             sources.append((source["type"], source["count"], extra))
         out_dir = split["dir"]
+        # Per-split seed (so a test split does not replay the train split's
+        # position stream) and per-split assets_dir (style-holdout pools
+        # live outside the main assets tree, e.g. assets/holdout).
+        split_seed = split.get("seed", seed)
+        split_assets = split.get("assets_dir", assets_dir)
+        if split_assets and not os.path.isabs(split_assets):
+            split_assets = os.path.join(
+                os.path.dirname(os.path.abspath(path)), split_assets)
         n = generate_split(
-            out_dir, sources, size=size, seed=seed, fmt=fmt,
+            out_dir, sources, size=size, seed=split_seed, fmt=fmt,
             highlight_pct=highlight_pct, flip_pct=flip_pct,
-            texture_pct=texture_pct, assets_dir=assets_dir,
+            texture_pct=texture_pct, assets_dir=split_assets,
+            start_index=split.get("start_index", 0),
             style_patterns=split.get("styles") or rendering.get("styles"),
         )
         print(f"split {name}: {n} images -> {out_dir}")
