@@ -33,6 +33,7 @@ def build_model(cfg: dict) -> nn.Module:
             img_size=model_cfg.get("input_size") or 224,
             head_dropout=model_cfg.get("head_dropout", 0.0),
             drop_path_rate=model_cfg.get("drop_path_rate", 0.0),
+            remat=model_cfg.get("remat", True),
             dtype=dtype,
         )
     if arch == "cnn":

@@ -21,6 +21,7 @@ class ChessViT(nn.Module):
     img_size: int = 256
     head_dropout: float = 0.0
     drop_path_rate: float = 0.0
+    remat: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -28,6 +29,7 @@ class ChessViT(nn.Module):
         backbone = ViTBackbone(
             img_size=self.img_size,
             drop_path_rate=self.drop_path_rate,
+            remat=self.remat,
             dtype=self.dtype,
             name="backbone",
         )

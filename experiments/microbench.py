@@ -383,6 +383,110 @@ def bench_train():
           flush=True)
 
 
+def bench_train_bisect():
+    """Bisect where the train-step time goes (VERDICT r2 #6 follow-up: the
+    full step measured 67 img/s vs a ~630 img/s compute ceiling implied by
+    the 92 TFLOP/s bf16 forward). One process, several jitted variants, each
+    timed with a short chained fori_loop so tunnel RTT stays amortized."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    import chess_vision_tpu.train.loop as loop_mod
+    from chess_vision_tpu.augment import preprocess_eval_batch
+    from chess_vision_tpu.models import build_model, init_variables
+    from chess_vision_tpu.train.loop import make_steps
+    from chess_vision_tpu.train.state import create_train_state
+
+    B = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(
+            rng.integers(0, 256, (B, 256, 256, 3)), jnp.uint8),
+        "squares": jnp.asarray(rng.integers(0, 13, (B, 64)), jnp.int32),
+        "turn": jnp.asarray(rng.integers(0, 2, (B, 1)), jnp.float32),
+        "castling": jnp.asarray(rng.integers(0, 2, (B, 4)), jnp.float32),
+        "legal": jnp.ones((B, 1), jnp.float32),
+        "mask": jnp.ones(B, jnp.float32),
+    }
+    key = jax.random.key(0)
+    real_aug = loop_mod.preprocess_train_batch
+
+    def measure(name, *, aug=True, dropout=0.1, remat=True, xla_attn=False,
+                fwd_only=False):
+        cfg = {
+            "model": {"arch": "vit", "input_size": 256,
+                      "head_dropout": dropout, "drop_path_rate": dropout,
+                      "remat": remat},
+            "training": {
+                "mixed_precision": True, "epochs": 10, "batch_size": B,
+                "lr": 2e-4, "weight_decay": 0.05, "grad_clip_norm": 1.0,
+                "label_smoothing": 0.1, "turn_loss_weight": 1.0,
+                "castling_loss_weight": 1.0,
+            },
+            "scheduler": {"warmup_epochs": 1},
+        }
+        os.environ["CHESS_VISION_NO_PALLAS_ATTN"] = "1" if xla_attn else "0"
+        loop_mod.preprocess_train_batch = real_aug if aug else (
+            lambda b, k, mean, std, **kw: preprocess_eval_batch(b, mean, std))
+        try:
+            model = build_model(cfg)
+            variables = init_variables(model, 256)
+            state, _ = create_train_state(cfg, variables, steps_per_epoch=351)
+            train_step, eval_step = make_steps(
+                model, cfg, class_weights=None, mean=(0.5,) * 3,
+                std=(0.5,) * 3)
+
+            if fwd_only:
+                @jax.jit
+                def loop(state, batch, key):
+                    def body(i, c):
+                        sums = eval_step(state.params, state.batch_stats,
+                                         batch)
+                        # keep the chain live (x*0 would let XLA DCE the body)
+                        return c + sums["loss_sum"].astype(
+                            jnp.float32) * 1e-12
+                    return jax.lax.fori_loop(
+                        0, iters, body, jnp.float32(0))
+
+                _sync(loop(state, batch, key))
+                t0 = time.time()
+                _sync(loop(state, batch, key))
+            else:
+                @jax.jit
+                def loop(state, batch, key):
+                    def body(i, st):
+                        st, _ = train_step(
+                            st, batch, jax.random.fold_in(key, i))
+                        return st
+                    st = jax.lax.fori_loop(0, iters, body, state)
+                    return jax.tree.leaves(st.params)[0].reshape(-1)[0]
+
+                _sync(loop(state, batch, key))
+                t0 = time.time()
+                _sync(loop(state, batch, key))
+            dt = time.time() - t0
+            print(f"{name}: {B * iters / dt:.1f} img/s "
+                  f"({dt / iters * 1e3:.0f} ms/step)", flush=True)
+        except Exception as e:  # OOM variants report instead of aborting
+            print(f"{name}: FAILED ({type(e).__name__}: {str(e)[:200]})",
+                  flush=True)
+        finally:
+            loop_mod.preprocess_train_batch = real_aug
+            os.environ.pop("CHESS_VISION_NO_PALLAS_ATTN", None)
+
+    measure("base (full step)")
+    measure("noaug", aug=False)
+    measure("noaug+xla_attn", aug=False, xla_attn=True)
+    measure("noaug+nodrop", aug=False, dropout=0.0)
+    measure("noaug+nodrop+xla_attn", aug=False, dropout=0.0, xla_attn=True)
+    measure("eval fwd (floor)", aug=False, dropout=0.0, fwd_only=True)
+    measure("noaug+noremat", aug=False, remat=False)
+
+
 if __name__ == "__main__":
     from chess_vision_tpu.utils.platform import apply_platform_env
 
@@ -398,3 +502,5 @@ if __name__ == "__main__":
         bench_flat()
     elif what == "train":
         bench_train()
+    elif what == "train_bisect":
+        bench_train_bisect()
