@@ -163,47 +163,6 @@ def _color_jitter(img, key):
     return jax.lax.switch(which, branches, img)
 
 
-def _color_jitter_batch(imgs, keys):
-    """Batched random-order color jitter: for each of the 4 order positions,
-    apply all 4 adjustments to the whole batch and per-image select the one
-    this image's permutation puts there. 16 batched passes total instead of
-    24 branches x 4 ops per image; identical math AND identical per-image
-    RNG draws as _color_jitter (same key splits), so results match the
-    single-image oracle bitwise up to op-reassociation."""
-    fb, fc, fs, fh, which = jax.vmap(_color_jitter_params)(keys)
-    order = jnp.take(
-        jnp.asarray(np.asarray(_PERMS, np.int32)), which, axis=0
-    )  # (B, 4)
-    c1 = lambda f: f[:, None, None, None]  # noqa: E731  (B,)->(B,1,1,1)
-
-    def bright(im):
-        return jnp.clip(im * c1(fb), 0.0, 1.0)
-
-    def contrast(im):
-        g = jnp.tensordot(im, _GRAY, axes=[[-1], [0]])
-        mean = jnp.mean(g, axis=(1, 2))[:, None, None, None]
-        return jnp.clip(c1(fc) * im + (1.0 - c1(fc)) * mean, 0.0, 1.0)
-
-    def saturation(im):
-        g = jnp.tensordot(im, _GRAY, axes=[[-1], [0]])[..., None]
-        return jnp.clip(c1(fs) * im + (1.0 - c1(fs)) * g, 0.0, 1.0)
-
-    def hue(im):
-        h, s, v = _rgb_to_hsv(im)
-        return jnp.clip(
-            _hsv_to_rgb((h + fh[:, None, None]) % 1.0, s, v), 0.0, 1.0
-        )
-
-    for j in range(4):
-        opid = order[:, j][:, None, None, None]
-        b_, c_, s_, h_ = bright(imgs), contrast(imgs), saturation(imgs), hue(imgs)
-        imgs = jnp.where(
-            opid == 0, b_,
-            jnp.where(opid == 1, c_, jnp.where(opid == 2, s_, h_)),
-        )
-    return imgs
-
-
 def _channel_permutation(img, key):
     """Random RGB channel permutation (reference dataset.py:123-132 —
     defined there but unused in the final recipe; available via config)."""
@@ -220,7 +179,7 @@ def _invert(img):
 def _augment_rest_one(img, key, channel_perm_p: float = 0.0,
                       invert_p: float = 0.0):
     """Everything after color jitter, single image; `key` is the full
-    per-image key (the jitter sub-key is consumed by _color_jitter_batch
+    per-image key (the jitter sub-key is consumed by _color_jitter_batch_p
     with identical splitting)."""
     kj, kg_p, kb_p, kb_s, kc_p, kc, ki_p = jax.random.split(key, 7)
     del kj  # consumed by the batched jitter stage
@@ -249,27 +208,128 @@ def _augment_one(img, key, channel_perm_p: float = 0.0, invert_p: float = 0.0):
     return _augment_rest_one(img, key, channel_perm_p, invert_p)
 
 
-def _gaussian_blur_batch(imgs, sigmas, size: int = 5):
-    """Per-image-sigma 5x5 blur for the whole batch in ONE grouped conv:
-    batch images fold into channels (feature_group_count = B*C), each group
-    convolving with its image's kernel. Replaces a vmap of B separate convs
-    (B sequential kernel launches in-program)."""
-    B, H, W, C = imgs.shape
-    pad = size // 2
-    k1 = jax.vmap(lambda s: _gaussian_kernel_1d(s, size))(sigmas)  # (B, k)
-    k2 = jnp.einsum("bi,bj->bij", k1, k1)                          # (B, k, k)
-    kernel = jnp.broadcast_to(
-        k2[:, None], (B, C, size, size)
-    ).reshape(B * C, size, size).transpose(1, 2, 0)[:, :, None, :]
-    x = jnp.pad(imgs, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
-                mode="reflect")
-    x = x.transpose(1, 2, 0, 3).reshape(1, H + 2 * pad, W + 2 * pad, B * C)
-    out = jax.lax.conv_general_dilated(
-        x, kernel.astype(x.dtype), window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=B * C,
+# ---------------------------------------------------------------------------
+# Planar (channel-major) batched pipeline — the hot path.
+#
+# Augmentation is elementwise math, and on TPU the minor-most axis maps onto
+# the VPU's 128 vector lanes: NHWC tensors (minor dim C=3) run every
+# jitter/HSV/blur op at 3/128 lane utilization. Measured on the v5e, that
+# made augmentation 84% of the whole ViT-B train step
+# (experiments/microbench.py train_bisect: 67 -> 408 img/s without aug).
+# The batched pipeline therefore runs channel-planar (B, 3, H, W) — minor
+# dim W fills the lanes — with the SAME per-pixel formulas and the SAME
+# per-image RNG draws as the single-image oracle above; equivalence is
+# asserted in tests/test_augment.py. The oracles stay NHWC for readability.
+# ---------------------------------------------------------------------------
+
+
+def _gray_p(x):
+    """(B, 3, H, W) -> (B, 1, H, W) ITU-R 601 luma."""
+    return (
+        _GRAY[0] * x[:, 0] + _GRAY[1] * x[:, 1] + _GRAY[2] * x[:, 2]
+    )[:, None]
+
+
+def _rgb_to_hsv_p(x):
+    """(B, 3, H, W) -> h, s, v each (B, H, W); same math as _rgb_to_hsv."""
+    r, g, b = x[:, 0], x[:, 1], x[:, 2]
+    maxc = jnp.maximum(jnp.maximum(r, g), b)
+    minc = jnp.minimum(jnp.minimum(r, g), b)
+    v = maxc
+    deltac = maxc - minc
+    s = jnp.where(maxc > 0, deltac / jnp.maximum(maxc, 1e-12), 0.0)
+    dsafe = jnp.maximum(deltac, 1e-12)
+    rc = (maxc - r) / dsafe
+    gc = (maxc - g) / dsafe
+    bc = (maxc - b) / dsafe
+    h = jnp.where(
+        maxc == r, bc - gc, jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc)
     )
-    return out.reshape(H, W, B, C).transpose(2, 0, 1, 3)
+    h = jnp.where(deltac > 0, h, 0.0)
+    h = (h / 6.0) % 1.0
+    return h, s, v
+
+
+def _select6(i, opts):
+    """Elementwise 6-way select (jnp.choose semantics for i in [0, 5])."""
+    out = opts[5]
+    for k in range(4, -1, -1):
+        out = jnp.where(i == k, opts[k], out)
+    return out
+
+
+def _hsv_to_rgb_p(h, s, v):
+    """h, s, v (B, H, W) -> (B, 3, H, W); same math as _hsv_to_rgb."""
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - f * s)
+    t = v * (1.0 - (1.0 - f) * s)
+    i = i.astype(jnp.int32) % 6
+    r = _select6(i, (v, q, p, p, t, v))
+    g = _select6(i, (t, v, v, q, p, p))
+    b = _select6(i, (p, p, t, v, v, q))
+    return jnp.stack([r, g, b], axis=1)
+
+
+def _color_jitter_batch_p(x, keys):
+    """Planar batched random-order color jitter: for each of the 4 order
+    positions, apply all 4 adjustments to the whole batch and per-image
+    select the one this image's permutation puts there (16 batched passes,
+    identical draws to the _color_jitter oracle)."""
+    fb, fc, fs, fh, which = jax.vmap(_color_jitter_params)(keys)
+    order = jnp.take(
+        jnp.asarray(np.asarray(_PERMS, np.int32)), which, axis=0
+    )  # (B, 4)
+    c1 = lambda f: f[:, None, None, None]  # noqa: E731  (B,)->(B,1,1,1)
+
+    def bright(im):
+        return jnp.clip(im * c1(fb), 0.0, 1.0)
+
+    def contrast(im):
+        mean = jnp.mean(_gray_p(im), axis=(1, 2, 3))[:, None, None, None]
+        return jnp.clip(c1(fc) * im + (1.0 - c1(fc)) * mean, 0.0, 1.0)
+
+    def saturation(im):
+        g = _gray_p(im)
+        return jnp.clip(c1(fs) * im + (1.0 - c1(fs)) * g, 0.0, 1.0)
+
+    def hue(im):
+        h, s, v = _rgb_to_hsv_p(im)
+        return jnp.clip(
+            _hsv_to_rgb_p((h + fh[:, None, None]) % 1.0, s, v), 0.0, 1.0
+        )
+
+    for j in range(4):
+        opid = order[:, j][:, None, None, None]
+        b_, c_, s_, h_ = bright(x), contrast(x), saturation(x), hue(x)
+        x = jnp.where(
+            opid == 0, b_,
+            jnp.where(opid == 1, c_, jnp.where(opid == 2, s_, h_)),
+        )
+    return x
+
+
+def _gaussian_blur_batch_p(x, sigmas, size: int = 5):
+    """Per-image-sigma separable 5-tap blur, planar: each pass is `size`
+    slice-scale-adds over (B, 3, H, W) — full-lane elementwise work, no conv.
+    Reflect padding; the Gaussian outer-product kernel is separable, so two
+    1D passes equal the oracle's 5x5 conv up to f32 reassociation."""
+    pad = size // 2
+    B, C, H, W = x.shape
+    k1 = jax.vmap(lambda s: _gaussian_kernel_1d(s, size))(sigmas)  # (B, k)
+    c1 = lambda v: v[:, None, None, None]  # noqa: E731
+
+    xp = jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (0, 0)), mode="reflect")
+    y = sum(
+        c1(k1[:, i]) * jax.lax.slice_in_dim(xp, i, i + H, axis=2)
+        for i in range(size)
+    )
+    yp = jnp.pad(y, ((0, 0), (0, 0), (0, 0), (pad, pad)), mode="reflect")
+    return sum(
+        c1(k1[:, i]) * jax.lax.slice_in_dim(yp, i, i + W, axis=3)
+        for i in range(size)
+    )
 
 
 def _rest_params(key):
@@ -287,26 +347,32 @@ def _rest_params(key):
     )
 
 
-def _augment_batch_impl(imgs, keys, channel_perm_p: float, invert_p: float):
-    """Fully batched augmentation pipeline (hot path): batched color
-    jitter, then batched grayscale/blur/extras with per-image selects.
-    Bitwise-equivalent to vmap(_augment_one) — same per-image draws, same
-    op order — tested against it in tests/test_augment.py."""
+def _augment_batch_impl_p(x, keys, channel_perm_p: float, invert_p: float):
+    """Fully batched augmentation pipeline on planar (B, 3, H, W) input:
+    batched color jitter, then batched grayscale/blur/extras with per-image
+    selects. Same per-image draws and op order as vmap(_augment_one)."""
     kj = jax.vmap(lambda k: jax.random.split(k, 7)[0])(keys)
-    imgs = _color_jitter_batch(imgs, kj)
+    x = _color_jitter_batch_p(x, kj)
 
     pg, pb, sigma, pc, cperm, pi = jax.vmap(_rest_params)(keys)
     c1 = lambda v: v[:, None, None, None]  # noqa: E731
 
-    gray = jnp.tensordot(imgs, _GRAY, axes=[[-1], [0]])[..., None]
-    imgs = jnp.where(c1(pg) < 0.1, gray * jnp.ones((3,), imgs.dtype), imgs)
-    imgs = jnp.where(c1(pb) < 0.2, _gaussian_blur_batch(imgs, sigma), imgs)
+    x = jnp.where(c1(pg) < 0.1, jnp.broadcast_to(_gray_p(x), x.shape), x)
+    x = jnp.where(c1(pb) < 0.2, _gaussian_blur_batch_p(x, sigma), x)
     if channel_perm_p > 0.0:
-        permuted = jnp.take_along_axis(imgs, cperm[:, None, None, :], axis=-1)
-        imgs = jnp.where(c1(pc) < channel_perm_p, permuted, imgs)
+        permuted = jnp.take_along_axis(x, cperm[:, :, None, None], axis=1)
+        x = jnp.where(c1(pc) < channel_perm_p, permuted, x)
     if invert_p > 0.0:
-        imgs = jnp.where(c1(pi) < invert_p, 1.0 - imgs, imgs)
-    return imgs
+        x = jnp.where(c1(pi) < invert_p, 1.0 - x, x)
+    return x
+
+
+def _augment_batch_impl(imgs, keys, channel_perm_p: float, invert_p: float):
+    """NHWC wrapper over the planar pipeline (kept as the tested interface;
+    hot callers build planar input directly and skip both transposes)."""
+    x = imgs.transpose(0, 3, 1, 2)
+    x = _augment_batch_impl_p(x, keys, channel_perm_p, invert_p)
+    return x.transpose(0, 2, 3, 1)
 
 
 def augment_batch(
@@ -344,14 +410,29 @@ def _batch_rgb01(batch: dict) -> jnp.ndarray:
     return ycbcr420_to_rgb(batch["y"], batch["cb"], batch["cr"]) / 255.0
 
 
+def _batch_rgb01_planar(batch: dict) -> jnp.ndarray:
+    """Like _batch_rgb01 but channel-planar (B, 3, H, W) for the augment hot
+    path; the YCbCr transport builds planes natively (no NHWC round-trip)."""
+    if "image" in batch:
+        return batch["image"].transpose(0, 3, 1, 2).astype(jnp.float32) / 255.0
+    from chess_vision_tpu.ops.preprocess import ycbcr420_to_rgb_planar
+
+    return ycbcr420_to_rgb_planar(batch["y"], batch["cb"], batch["cr"]) / 255.0
+
+
 def preprocess_train_batch(batch, key, mean, std, dtype=jnp.float32,
                            channel_perm_p: float = 0.0, invert_p: float = 0.0):
-    imgs = _batch_rgb01(batch)
-    keys = jax.random.split(key, imgs.shape[0])
-    return normalize(
-        _augment_batch_impl(imgs, keys, channel_perm_p, invert_p),
-        mean, std, dtype,
-    )
+    """Train-batch preprocessing, planar end-to-end: reconstruct/augment/
+    normalize at (B, 3, H, W) and transpose to the model's NHWC once at the
+    very end (a single layout pass instead of lane-starved elementwise
+    chains — see the planar-pipeline note above)."""
+    x = _batch_rgb01_planar(batch)
+    keys = jax.random.split(key, x.shape[0])
+    x = _augment_batch_impl_p(x, keys, channel_perm_p, invert_p)
+    mean = jnp.asarray(mean, jnp.float32)[None, :, None, None]
+    std = jnp.asarray(std, jnp.float32)[None, :, None, None]
+    x = ((x - mean) / std).astype(dtype)
+    return x.transpose(0, 2, 3, 1)
 
 
 def preprocess_eval_batch(batch, mean, std, dtype=jnp.float32):

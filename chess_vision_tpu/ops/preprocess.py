@@ -88,6 +88,11 @@ def ycbcr420_to_rgb(
     instead of RGB halves host->device bytes — the transfer bottleneck for
     both serving and training input.
     """
+    r, g, b = _ycbcr420_rgb_planes(y, cb, cr)
+    return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)
+
+
+def _ycbcr420_rgb_planes(y, cb, cr):
     B, S, _ = y.shape
     yf = y.astype(jnp.float32)
     up = lambda c: jax.image.resize(  # noqa: E731
@@ -98,7 +103,20 @@ def ycbcr420_to_rgb(
     r = yf + 1.402 * crf
     g = yf - 0.344136 * cbf - 0.714136 * crf
     b = yf + 1.772 * cbf
-    return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)
+    return r, g, b
+
+
+def ycbcr420_to_rgb_planar(
+    y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray
+) -> jnp.ndarray:
+    """Same as ycbcr420_to_rgb but channel-planar (B, 3, S, S) output.
+
+    The training augmentations run channel-planar so their elementwise math
+    fills the TPU's 128 vector lanes (minor dim = width, not C=3); producing
+    planes directly avoids an NHWC round-trip. Values are bitwise identical
+    to ycbcr420_to_rgb up to the stack axis."""
+    r, g, b = _ycbcr420_rgb_planes(y, cb, cr)
+    return jnp.clip(jnp.stack([r, g, b], axis=1), 0.0, 255.0)
 
 
 def ycbcr420_to_normalized(

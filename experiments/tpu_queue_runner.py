@@ -218,11 +218,14 @@ def main() -> None:
     if enabled("vit150"):
         train_with_retries(
             "train_vit150",
+            # 120k of the 135k corpus: the full set of YCbCr planes (12.9 GB)
+            # plus params+opt (1.0 GB) and remat activations does not fit the
+            # 16 GB HBM; 120k caches 11.3 GB and leaves headroom.
             [py, "train.py", "--config", "configs/vit_tpu.yaml", "--set",
              "model.pretrained=false", "data.transport=ycbcr420",
-             "data.num_workers=8", "data.max_samples=100000",
+             "data.num_workers=8", "data.max_samples=120000",
              "data.ood_val_dir=data/test_random",
-             "data.device_cache=true", "data.device_cache_budget_gb=11",
+             "data.device_cache=true", "data.device_cache_budget_gb=12",
              "data.device_cache_chunk=16",
              "training.epochs=10", "training.batch_size=128",
              "training.lr=0.0002",
