@@ -49,9 +49,18 @@ def _reference_attention(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, heads_per_block, head_dim,
                  scale):
+    # Softmax is the kernel's real cost (profiled: attention is VPU-bound —
+    # its matmul time is ~2ms/batch vs ~46ms measured): every elementwise
+    # pass runs over the (N, N) score tile, lane-padded 257->384. So the
+    # normalizer is folded into the PV matmul instead of being its own
+    # passes: append a ones-column to V (free — the 64-wide V tile pads to
+    # 128 lanes anyway) so the MXU emits [P@V | rowsum(P)], and divide the
+    # small (N, head_dim) output. VPU passes per head drop from ~4 (max,
+    # exp, sum, divide+cast) to 2 (max, exp).
     q = q_ref[0]  # (N, heads_per_block * head_dim)
     k = k_ref[0]
     v = v_ref[0]
+    n = q.shape[0]
     for i in range(heads_per_block):
         sl = slice(i * head_dim, (i + 1) * head_dim)
         s = jax.lax.dot_general(
@@ -60,11 +69,15 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, heads_per_block, head_dim,
             preferred_element_type=jnp.float32,
         ) * scale                                   # (N, N) f32, VMEM-only
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        o_ref[0, :, sl] = jax.lax.dot(
-            p.astype(v.dtype), v[:, sl],
-            preferred_element_type=jnp.float32,
+        p = jnp.exp(s - m).astype(v.dtype)          # unnormalized, rows <= 1
+        v_ext = jnp.concatenate(
+            [v[:, sl], jnp.ones((n, 1), v.dtype)], axis=1
+        )
+        o_ext = jax.lax.dot(
+            p, v_ext, preferred_element_type=jnp.float32,
+        )                                           # [P@V | rowsum] f32
+        o_ref[0, :, sl] = (
+            o_ext[:, :head_dim] / o_ext[:, head_dim:]
         ).astype(o_ref.dtype)
 
 
@@ -178,13 +191,28 @@ def _attn_quant_kernel(q_ref, k_ref, v_ref, oq_ref, os_ref, scratch,
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
+    n = q.shape[0]
     for i in range(num_heads):
         sl = slice(i * head_dim, (i + 1) * head_dim)
         s = _head_scores(q, k, sl, scale, qk_int8)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        scratch[:, sl] = _head_av(p, v, sl, pv_int8)
+        if pv_int8:
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            scratch[:, sl] = _head_av(p, v, sl, True)
+        else:
+            # normalizer folded into the PV matmul (see _attn_kernel): the
+            # ones-column rides in V's 64->128 lane padding, so rowsum(P)
+            # costs zero extra MXU time and the divide runs over (N, 64)
+            # instead of two VPU passes over the padded (N, 384) score tile.
+            v_ext = jnp.concatenate(
+                [v[:, sl], jnp.ones((n, 1), v.dtype)], axis=1
+            )
+            o_ext = jax.lax.dot(
+                p.astype(v.dtype), v_ext,
+                preferred_element_type=jnp.float32,
+            )
+            scratch[:, sl] = o_ext[:, :head_dim] / o_ext[:, head_dim:]
     # int8 serving path: the proj matmul consumes a quantized tensor anyway,
     # so quantize here — the full row is on-chip — instead of writing bf16 to
     # HBM and re-reading it in a separate rowquant pass.
@@ -317,8 +345,19 @@ def _attn_quant_kernel_flat(q_ref, k_ref, v_ref, oq_ref, os_ref, scratch,
         s = jnp.where(key_pad, -1e30, s)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        scratch[:, sl] = _head_av(p, v, sl, pv_int8)
+        if pv_int8:
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            scratch[:, sl] = _head_av(p, v, sl, True)
+        else:
+            # normalizer folded into the PV matmul (see _attn_kernel)
+            v_ext = jnp.concatenate(
+                [v[:, sl], jnp.ones((NP, 1), v.dtype)], axis=1
+            )
+            o_ext = jax.lax.dot(
+                p.astype(v.dtype), v_ext,
+                preferred_element_type=jnp.float32,
+            )
+            scratch[:, sl] = o_ext[:, :head_dim] / o_ext[:, head_dim:]
     o = scratch[...].astype(jnp.float32)
     amax = jnp.maximum(jnp.max(jnp.abs(o), axis=-1, keepdims=True), 1e-8)
     oq_ref[...] = jnp.clip(jnp.round(o * (127.0 / amax)), -127, 127

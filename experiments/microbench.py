@@ -444,9 +444,14 @@ def bench_train_bisect():
                 @jax.jit
                 def loop(state, batch, key):
                     def body(i, c):
-                        sums = eval_step(state.params, state.batch_stats,
-                                         batch)
-                        # keep the chain live (x*0 would let XLA DCE the body)
+                        # thread the carry into the INPUT, not just the
+                        # output: a loop-invariant eval_step(params, batch)
+                        # gets hoisted out of the fori_loop by XLA (LICM)
+                        # and times one forward instead of `iters`.
+                        b = dict(batch)
+                        b["image"] = b["image"] + (c * 0).astype(
+                            b["image"].dtype)
+                        sums = eval_step(state.params, state.batch_stats, b)
                         return c + sums["loss_sum"].astype(
                             jnp.float32) * 1e-12
                     return jax.lax.fori_loop(
