@@ -173,27 +173,48 @@ def run_bench(batch: int, seconds: float, mode: str, use_int8: bool) -> None:
           f"compile+warmup {time.time() - t_c:.1f}s", file=sys.stderr,
           flush=True)
 
-    # --- compute-bound: device-resident inputs, chained dispatch ----------
-    # Measured in short chunks; STATE updates after every chunk so a partial
-    # number survives a mid-measurement wedge.
+    # --- compute-bound: device-resident inputs, K batches chained per
+    # dispatch in a fori_loop ------------------------------------------------
+    # One RPC per batch leaves ~30ms/batch of relay dispatch latency in the
+    # number even at queue depth 8 (profiled: 117ms device vs 151ms wall) —
+    # the tunnel serializes submissions. Chaining K forwards inside one jitted
+    # program measures the chip, which is the compute-bound contract. The
+    # carry threads a data dependency through every iteration (microbench.py
+    # pattern: f32 *0 is not constant-folded — NaN semantics — so XLA cannot
+    # hoist the forward).
+    import jax.numpy as jnp
+
     STATE["stage"] = "upload"
     dev_inputs = [tuple(jax.device_put(a) for a in h) for h in hosts]
     np.asarray(infer(params, {}, *dev_inputs[0])[0])  # settle transfers
+    K = 4
+
+    @jax.jit
+    def chained(params, ins):
+        def body(_, carry):
+            dep = carry.astype(ins[0].dtype)  # 0 at runtime, traced for XLA
+            out = infer(params, {}, ins[0] + dep, *ins[1:])
+            return jnp.sum(out[0]).astype(jnp.float32) * jnp.float32(1e-30)
+
+        return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
+
+    STATE["stage"] = "compute_bound_compile"
+    np.asarray(chained(params, dev_inputs[0]))  # compile + warm
     STATE["stage"] = "compute_bound"
     reps = 0
     t0 = time.time()
     window = []
-    while time.time() - t0 < seconds or reps < 8:
-        window.append(infer(params, {}, *dev_inputs[reps % 2]))
-        if len(window) >= 8:
-            np.asarray(window.pop(0)[0])
-            done = reps - 7  # results actually retired
-            if done >= 8:
+    while time.time() - t0 < seconds or reps < 2:
+        window.append(chained(params, dev_inputs[reps % 2]))
+        if len(window) >= 3:
+            np.asarray(window.pop(0))
+            done = (reps - 2) * K  # batches actually retired
+            if done >= 2 * K:
                 STATE["compute_bound"] = done * batch / (time.time() - t0) / n_dev
         reps += 1
     while window:
-        np.asarray(window.pop(0)[0])
-    compute_bound = reps * batch / (time.time() - t0) / n_dev
+        np.asarray(window.pop(0))
+    compute_bound = reps * K * batch / (time.time() - t0) / n_dev
     STATE["compute_bound"] = compute_bound
 
     # --- end-to-end: pipelined H2D -> infer -> D2H, depth-3 window --------
