@@ -128,6 +128,66 @@ def _kernel_attention(qkv: jnp.ndarray, num_heads: int,
     )(qkv, qkv, qkv)
 
 
+def _pow2(x: float) -> bool:
+    """True when x is an exact power of two (folding it is lossless)."""
+    m, _ = math.frexp(x)
+    return m == 0.5
+
+
+def _softmax_shift_mode() -> str:
+    """CHESS_VISION_ATTN_SOFTMAX: bound (default) | fixed | max.
+
+    The per-row max reduction over the lane-padded (N, N) score tile is the
+    serving attention kernel's single most expensive pass (~1.4ms of
+    ~3.4ms/layer-batch at B=512 — exp itself is nearly free on the VPU;
+    measured via experiments/attn_variants.py). The ones-column rowsum
+    renormalizes ANY shift exactly, so the max is not needed for
+    correctness — only to keep exp(s - shift) inside f32 range.
+
+    'bound' replaces the max with the per-(row, head) Cauchy-Schwarz bound
+    |q_i| * max_j |k_j| - 45, computed outside the score tile from one
+    squared pass over q/k plus two tiny MXU dots against a block-diagonal
+    head selector. Since bound >= true row max, exp(max - shift) <= e^45
+    and the rowsum <= 257*e^45 ~ 2.6e21 — overflow is IMPOSSIBLE for any
+    checkpoint. A whole row underflows only if the bound overshoots the
+    true max by > 132 (worst measured on a trained ViT: 81, and the
+    rowsum floor degrades that row to zero attention instead of NaN).
+
+    'fixed' uses exp(s - 24) with no per-row work at all — fastest, but
+    only safe for models whose logits are known < ~110 (trained ViTs here
+    measured up to 126: NOT safe as a default; kept for calibrated
+    deployments). 'max' is the exact max-shifted softmax. Read at trace
+    time."""
+    import os
+
+    return os.environ.get("CHESS_VISION_ATTN_SOFTMAX", "bound")
+
+
+_FIXED_SHIFT = 24.0
+_BOUND_OFFSET = 45.0
+
+
+def _bound_shift(q, k, num_heads, head_dim, kn2_mask_rows=None):
+    """(N, H) f32 per-(row, head) softmax shifts: |q_i| max_j|k_j| - 45.
+
+    q must already carry the softmax scale (folded). kn2_mask_rows masks
+    padded key rows (flat layout) out of the key-norm max."""
+    sel = (
+        jax.lax.broadcasted_iota(
+            jnp.int32, (q.shape[1], num_heads), 0) // head_dim
+        == jax.lax.broadcasted_iota(
+            jnp.int32, (q.shape[1], num_heads), 1)
+    ).astype(jnp.float32)
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    qn2 = jax.lax.dot(qf * qf, sel, preferred_element_type=jnp.float32)
+    kn2 = jax.lax.dot(kf * kf, sel, preferred_element_type=jnp.float32)
+    if kn2_mask_rows is not None:
+        kn2 = jnp.where(kn2_mask_rows, 0.0, kn2)
+    kn2max = jnp.max(kn2, axis=0, keepdims=True)  # (1, H) sublane reduce
+    return jnp.sqrt(qn2 * kn2max) - _BOUND_OFFSET
+
+
 def _rowq8(x):
     """Per-row int8 quantization of a (N, head_dim) slice, f32 in."""
     amax = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), 1e-8)
@@ -146,11 +206,14 @@ def _head_scores(q, k, sl, scale, qk_int8):
     64-term dot), well under the output row-quant that follows; validated
     end-to-end on the trained checkpoint (experiments/int8_eval.py)."""
     if not qk_int8:
-        return jax.lax.dot_general(
+        s = jax.lax.dot_general(
             q[:, sl], k[:, sl],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale
+        )
+        # scale == 1.0 when it was folded into q before the dot (exact for
+        # power-of-two scales); skip the (N, N) lane-padded multiply pass.
+        return s if scale == 1.0 else s * scale
     qq, qs = _rowq8(q[:, sl].astype(jnp.float32))
     kq, ks = _rowq8(k[:, sl].astype(jnp.float32))
     s32 = jax.lax.dot_general(
@@ -187,16 +250,30 @@ def _head_av(p, v, sl, pv_int8):
 
 
 def _attn_quant_kernel(q_ref, k_ref, v_ref, oq_ref, os_ref, scratch,
-                       *, num_heads, head_dim, scale, qk_int8, pv_int8):
+                       *, num_heads, head_dim, scale, qk_int8, pv_int8,
+                       shift_mode):
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
     n = q.shape[0]
+    fold = shift_mode != "max" and not qk_int8 and _pow2(scale)
+    if fold:
+        # Fold the softmax scale into q: one (N, D) multiply replaces a
+        # per-head pass over the lane-padded (N, N) score tile. Exact —
+        # scale = 2^-3 at head_dim 64, a pure exponent shift in bf16/f32.
+        q = q * jnp.asarray(scale, q.dtype)
+    bound = _bound_shift(q, k, num_heads, head_dim) \
+        if shift_mode == "bound" and fold else None
     for i in range(num_heads):
         sl = slice(i * head_dim, (i + 1) * head_dim)
-        s = _head_scores(q, k, sl, scale, qk_int8)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
+        s = _head_scores(q, k, sl, 1.0 if fold else scale, qk_int8)
+        if bound is not None:
+            p = jnp.exp(s - bound[:, i:i + 1])
+        elif shift_mode == "fixed" and fold:
+            p = jnp.exp(s - _FIXED_SHIFT)
+        else:
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
         if pv_int8:
             p = p / jnp.sum(p, axis=-1, keepdims=True)
             scratch[:, sl] = _head_av(p, v, sl, True)
@@ -212,7 +289,10 @@ def _attn_quant_kernel(q_ref, k_ref, v_ref, oq_ref, os_ref, scratch,
                 p.astype(v.dtype), v_ext,
                 preferred_element_type=jnp.float32,
             )
-            scratch[:, sl] = o_ext[:, :head_dim] / o_ext[:, head_dim:]
+            # rowsum floor: a (pathological) fully-underflowed row yields
+            # zero attention output instead of 0/0 = NaN; (N, 1) so free.
+            scratch[:, sl] = o_ext[:, :head_dim] / jnp.maximum(
+                o_ext[:, head_dim:], 1e-30)
     # int8 serving path: the proj matmul consumes a quantized tensor anyway,
     # so quantize here — the full row is on-chip — instead of writing bf16 to
     # HBM and re-reading it in a separate rowquant pass.
@@ -265,7 +345,8 @@ def fused_qkv_attention_quant(qkv: jnp.ndarray, num_heads: int,
     return pl.pallas_call(
         functools.partial(_attn_quant_kernel, num_heads=num_heads,
                           head_dim=head_dim, scale=scale, qk_int8=qk_int8,
-                          pv_int8=pv_int8),
+                          pv_int8=pv_int8,
+                          shift_mode=_softmax_shift_mode()),
         out_shape=(
             jax.ShapeDtypeStruct((B, N, D), jnp.int8),
             jax.ShapeDtypeStruct((B, N, 1), jnp.float32),
@@ -328,7 +409,7 @@ def fused_qkv_attention(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
 
 def _attn_quant_kernel_flat(q_ref, k_ref, v_ref, oq_ref, os_ref, scratch,
                             *, num_heads, head_dim, scale, n_real, qk_int8,
-                            pv_int8):
+                            pv_int8, shift_mode):
     """One image per grid cell on the FLAT layout: refs are (NP, D) slabs of
     the (M, 3D) qkv stream. Key columns >= n_real (token padding) are masked
     out of the softmax; padded query rows produce garbage that stays
@@ -339,12 +420,31 @@ def _attn_quant_kernel_flat(q_ref, k_ref, v_ref, oq_ref, os_ref, scratch,
     v = v_ref[...]
     NP = q.shape[0]
     key_pad = jax.lax.broadcasted_iota(jnp.int32, (NP, NP), 1) >= n_real
+    fold = shift_mode != "max" and not qk_int8 and _pow2(scale)
+    if fold:
+        q = q * jnp.asarray(scale, q.dtype)  # see _attn_quant_kernel
+    if shift_mode == "bound" and fold:
+        # padded key rows are garbage — mask them out of the key-norm max
+        row_pad = jax.lax.broadcasted_iota(
+            jnp.int32, (NP, num_heads), 0) >= n_real
+        bound = _bound_shift(q, k, num_heads, head_dim,
+                             kn2_mask_rows=row_pad)
+    else:
+        bound = None
     for i in range(num_heads):
         sl = slice(i * head_dim, (i + 1) * head_dim)
-        s = _head_scores(q, k, sl, scale, qk_int8)
+        s = _head_scores(q, k, sl, 1.0 if fold else scale, qk_int8)
         s = jnp.where(key_pad, -1e30, s)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
+        if bound is not None:
+            # exp(-1e30 - shift) == 0 exactly, so masked keys contribute
+            # nothing to P@V or to the ones-column rowsum; padded QUERY
+            # rows are garbage either way and stay row-local downstream.
+            p = jnp.exp(s - bound[:, i:i + 1])
+        elif shift_mode == "fixed" and fold:
+            p = jnp.exp(s - _FIXED_SHIFT)
+        else:
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
         if pv_int8:
             p = p / jnp.sum(p, axis=-1, keepdims=True)
             scratch[:, sl] = _head_av(p, v, sl, True)
@@ -357,7 +457,8 @@ def _attn_quant_kernel_flat(q_ref, k_ref, v_ref, oq_ref, os_ref, scratch,
                 p.astype(v.dtype), v_ext,
                 preferred_element_type=jnp.float32,
             )
-            scratch[:, sl] = o_ext[:, :head_dim] / o_ext[:, head_dim:]
+            scratch[:, sl] = o_ext[:, :head_dim] / jnp.maximum(
+                o_ext[:, head_dim:], 1e-30)
     o = scratch[...].astype(jnp.float32)
     amax = jnp.maximum(jnp.max(jnp.abs(o), axis=-1, keepdims=True), 1e-8)
     oq_ref[...] = jnp.clip(jnp.round(o * (127.0 / amax)), -127, 127
@@ -406,7 +507,8 @@ def fused_qkv_attention_quant_flat(qkv, images: int, n_real: int,
     return pl.pallas_call(
         functools.partial(_attn_quant_kernel_flat, num_heads=num_heads,
                           head_dim=head_dim, scale=scale, n_real=n_real,
-                          qk_int8=qk_int8, pv_int8=pv_int8),
+                          qk_int8=qk_int8, pv_int8=pv_int8,
+                          shift_mode=_softmax_shift_mode()),
         out_shape=(
             jax.ShapeDtypeStruct((M, D), jnp.int8),
             jax.ShapeDtypeStruct((M, 1), jnp.float32),

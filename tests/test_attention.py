@@ -120,3 +120,36 @@ def test_rowquant_feeds_quant_dense(rng):
     ref = (np.asarray(xq, np.float32) @ np.asarray(wq, np.float32)
            ) * np.asarray(s) * np.asarray(ws) + np.asarray(bias)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_fixed_shift_softmax_matches_max_shift(rng, monkeypatch):
+    """The serving quant kernels' fixed-shift softmax (default) must match
+    the max-shifted form to float rounding: the ones-column rowsum
+    renormalizes any shift exactly, so the only difference is f32 exp
+    rounding. Exercised at score magnitudes near the trained-checkpoint
+    range (|s| <= ~16) in both layouts."""
+    from chess_vision_tpu.ops.attention import (
+        fused_qkv_attention_quant,
+        fused_qkv_attention_quant_flat,
+    )
+
+    B, N, H, Dh = 2, 33, 4, 64
+    # scale up q so per-head logits reach O(10) like a trained checkpoint
+    qkv = rng.normal(size=(B, N, 3 * H * Dh)).astype(np.float32)
+    qkv[:, :, : H * Dh] *= 4.0
+    qkv = jnp.asarray(qkv, jnp.bfloat16)
+
+    outs = {}
+    for mode in ("bound", "fixed", "max"):
+        monkeypatch.setenv("CHESS_VISION_ATTN_SOFTMAX", mode)
+        oq, os_ = fused_qkv_attention_quant(qkv, H, interpret=True)
+        outs[mode] = np.asarray(oq, np.float32) * np.asarray(os_)
+        NP = 48
+        qpad = jnp.pad(qkv, ((0, 0), (0, NP - N), (0, 0)))
+        fq, fs = fused_qkv_attention_quant_flat(
+            qpad.reshape(B * NP, 3 * H * Dh), B, N, H, interpret=True)
+        f = (np.asarray(fq, np.float32) * np.asarray(fs)).reshape(B, NP, -1)
+        np.testing.assert_allclose(f[:, :N], outs[mode], atol=0.02)
+    # a couple of int8 output-quant steps of an O(1) activation
+    np.testing.assert_allclose(outs["fixed"], outs["max"], atol=0.04)
+    np.testing.assert_allclose(outs["bound"], outs["max"], atol=0.04)
