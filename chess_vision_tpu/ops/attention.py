@@ -61,21 +61,27 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, heads_per_block, head_dim,
     k = k_ref[0]
     v = v_ref[0]
     n = q.shape[0]
+    fold = _pow2(scale)
+    if fold:
+        q = q * jnp.asarray(scale, q.dtype)  # exact: scale = 2^-3 at Dh=64
+    nm = (n // _LANES) * _LANES
+    split = fold and nm >= _LANES and 0 < n - nm <= 2
+    extra = _extra_key_scores(q, k, nm, heads_per_block) if split else None
     for i in range(heads_per_block):
         sl = slice(i * head_dim, (i + 1) * head_dim)
-        s = jax.lax.dot_general(
-            q[:, sl], k[:, sl],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale                                   # (N, N) f32, VMEM-only
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m).astype(v.dtype)          # unnormalized, rows <= 1
-        v_ext = jnp.concatenate(
-            [v[:, sl], jnp.ones((n, 1), v.dtype)], axis=1
-        )
-        o_ext = jax.lax.dot(
-            p, v_ext, preferred_element_type=jnp.float32,
-        )                                           # [P@V | rowsum] f32
+        if split:
+            # exact max-shifted softmax with the key axis split at the last
+            # multiple of 128 lanes (see _head_pv_split); [P@V | rowsum] f32
+            o_ext = _head_pv_split(q, k, v, sl, None, extra, i)
+        else:
+            s = _head_scores(q, k, sl, 1.0 if fold else scale, False)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m).astype(v.dtype)      # unnormalized, rows <= 1
+            v_ext = jnp.concatenate(
+                [v[:, sl], jnp.ones((n, 1), v.dtype)], axis=1
+            )
+            o_ext = jax.lax.dot(p, v_ext,
+                                preferred_element_type=jnp.float32)
         o_ref[0, :, sl] = (
             o_ext[:, :head_dim] / o_ext[:, head_dim:]
         ).astype(o_ref.dtype)
@@ -172,12 +178,7 @@ def _bound_shift(q, k, num_heads, head_dim, kn2_mask_rows=None):
 
     q must already carry the softmax scale (folded). kn2_mask_rows masks
     padded key rows (flat layout) out of the key-norm max."""
-    sel = (
-        jax.lax.broadcasted_iota(
-            jnp.int32, (q.shape[1], num_heads), 0) // head_dim
-        == jax.lax.broadcasted_iota(
-            jnp.int32, (q.shape[1], num_heads), 1)
-    ).astype(jnp.float32)
+    sel = _head_selector(q.shape[1], num_heads)
     qf = q.astype(jnp.float32)
     kf = k.astype(jnp.float32)
     qn2 = jax.lax.dot(qf * qf, sel, preferred_element_type=jnp.float32)
@@ -186,6 +187,75 @@ def _bound_shift(q, k, num_heads, head_dim, kn2_mask_rows=None):
         kn2 = jnp.where(kn2_mask_rows, 0.0, kn2)
     kn2max = jnp.max(kn2, axis=0, keepdims=True)  # (1, H) sublane reduce
     return jnp.sqrt(qn2 * kn2max) - _BOUND_OFFSET
+
+
+def _head_selector(width: int, num_heads: int) -> jnp.ndarray:
+    """(width, num_heads) f32 block-diagonal head selector: column h is 1 on
+    the rows of head h's feature slice. Contracting a (N, width) tensor with
+    it sums per head — per-head row stats for all heads in ONE MXU dot."""
+    head_dim = width // num_heads
+    return (
+        jax.lax.broadcasted_iota(jnp.int32, (width, num_heads), 0) // head_dim
+        == jax.lax.broadcasted_iota(jnp.int32, (width, num_heads), 1)
+    ).astype(jnp.float32)
+
+
+def _extra_key_scores(q, k, nm, num_heads):
+    """(N, n_extra) x num_heads extra-key logits, no narrow dots.
+
+    Scores against the <=2 keys past the last 128-multiple are computed for
+    ALL heads at once: q * k_row broadcast (f32, exact to f32 rounding)
+    contracted with the block-diagonal head selector. Mosaic rejects 1-wide
+    matmuls, and this costs one (N, D) multiply + one (N, D)@(D, H) dot per
+    extra key. Returns a list of (N, num_heads) f32, one per extra key.
+    q must already carry the softmax scale."""
+    sel = _head_selector(q.shape[1], num_heads)
+    qf = q.astype(jnp.float32)
+    return [
+        jax.lax.dot(qf * k[j, :].astype(jnp.float32), sel,
+                    preferred_element_type=jnp.float32)
+        for j in range(nm, k.shape[0])
+    ]
+
+
+def _head_pv_split(q, k, v, sl, shift, extra, head_index):
+    """[P@V | rowsum(P)] -> (N, head_dim + 1) f32 for one head slice.
+
+    The key axis is split at its last multiple of 128: a 257-key score
+    tile lane-pads to 384 (+50% on every score-tile op — the QK^T output,
+    exp, and the PV contraction), while a 256-key main tile maps exactly.
+    The remainder keys' logits arrive precomputed (`extra`, from
+    _extra_key_scores) and their [P@V | rowsum] contribution is a
+    broadcast FMA (softmax is a sum over keys, so partial results add).
+
+    shift: (N, 1) or scalar softmax shift; None computes the exact per-row
+    max across the main tile and the extra keys. q must already carry the
+    softmax scale."""
+    n_keys = k.shape[0]
+    head_dim = sl.stop - sl.start
+    nm = n_keys - len(extra)
+    s = jax.lax.dot_general(
+        q[:, sl], k[:nm, sl],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    se = [e[:, head_index:head_index + 1] for e in extra]  # (N, 1) each
+    if shift is None:
+        shift = jnp.max(s, axis=-1, keepdims=True)
+        for e in se:
+            shift = jnp.maximum(shift, e)
+    p = jnp.exp(s - shift).astype(v.dtype)
+    v_ext = jnp.concatenate(
+        [v[:nm, sl], jnp.ones((nm, 1), v.dtype)], axis=1
+    )
+    o_ext = jax.lax.dot(p, v_ext, preferred_element_type=jnp.float32)
+    for j, e in enumerate(se):
+        pe = jnp.exp(e - shift)                       # (N, 1) f32
+        row = jnp.concatenate(
+            [v[nm + j:nm + j + 1, sl], jnp.ones((1, 1), v.dtype)], axis=1
+        ).astype(jnp.float32)                         # (1, head_dim + 1)
+        o_ext = o_ext + pe * row                      # broadcast FMA
+    return o_ext
 
 
 def _rowq8(x):
@@ -256,7 +326,8 @@ def _attn_quant_kernel(q_ref, k_ref, v_ref, oq_ref, os_ref, scratch,
     k = k_ref[0]
     v = v_ref[0]
     n = q.shape[0]
-    fold = shift_mode != "max" and not qk_int8 and _pow2(scale)
+    legacy = qk_int8 or pv_int8  # experimental int8-score modes: full-width
+    fold = not legacy and _pow2(scale)
     if fold:
         # Fold the softmax scale into q: one (N, D) multiply replaces a
         # per-head pass over the lane-padded (N, N) score tile. Exact —
@@ -264,35 +335,50 @@ def _attn_quant_kernel(q_ref, k_ref, v_ref, oq_ref, os_ref, scratch,
         q = q * jnp.asarray(scale, q.dtype)
     bound = _bound_shift(q, k, num_heads, head_dim) \
         if shift_mode == "bound" and fold else None
+    nm = (n // _LANES) * _LANES
+    split = fold and nm >= _LANES and 0 < n - nm <= 2
+    extra = _extra_key_scores(q, k, nm, num_heads) if split else None
     for i in range(num_heads):
         sl = slice(i * head_dim, (i + 1) * head_dim)
-        s = _head_scores(q, k, sl, 1.0 if fold else scale, qk_int8)
-        if bound is not None:
-            p = jnp.exp(s - bound[:, i:i + 1])
-        elif shift_mode == "fixed" and fold:
-            p = jnp.exp(s - _FIXED_SHIFT)
-        else:
+        if legacy:
+            s = _head_scores(q, k, sl, scale, qk_int8)
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m)
-        if pv_int8:
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
-            scratch[:, sl] = _head_av(p, v, sl, True)
+            if pv_int8:
+                p = p / jnp.sum(p, axis=-1, keepdims=True)
+                scratch[:, sl] = _head_av(p, v, sl, True)
+            else:
+                v_ext = jnp.concatenate(
+                    [v[:, sl], jnp.ones((n, 1), v.dtype)], axis=1
+                )
+                o_ext = jax.lax.dot(
+                    p.astype(v.dtype), v_ext,
+                    preferred_element_type=jnp.float32,
+                )
+                scratch[:, sl] = o_ext[:, :head_dim] / o_ext[:, head_dim:]
+            continue
+        if bound is not None:
+            shift = bound[:, i:i + 1]
+        elif shift_mode == "fixed" and fold:
+            shift = _FIXED_SHIFT
         else:
-            # normalizer folded into the PV matmul (see _attn_kernel): the
-            # ones-column rides in V's 64->128 lane padding, so rowsum(P)
-            # costs zero extra MXU time and the divide runs over (N, 64)
-            # instead of two VPU passes over the padded (N, 384) score tile.
+            shift = None  # exact per-row max
+        if split:
+            o_ext = _head_pv_split(q, k, v, sl, shift, extra, i)
+        else:
+            s = _head_scores(q, k, sl, 1.0 if fold else scale, False)
+            if shift is None:
+                shift = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - shift).astype(v.dtype)
             v_ext = jnp.concatenate(
                 [v[:, sl], jnp.ones((n, 1), v.dtype)], axis=1
             )
-            o_ext = jax.lax.dot(
-                p.astype(v.dtype), v_ext,
-                preferred_element_type=jnp.float32,
-            )
-            # rowsum floor: a (pathological) fully-underflowed row yields
-            # zero attention output instead of 0/0 = NaN; (N, 1) so free.
-            scratch[:, sl] = o_ext[:, :head_dim] / jnp.maximum(
-                o_ext[:, head_dim:], 1e-30)
+            o_ext = jax.lax.dot(p, v_ext,
+                                preferred_element_type=jnp.float32)
+        # rowsum floor: a (pathological) fully-underflowed row yields
+        # zero attention output instead of 0/0 = NaN; (N, 1) so free.
+        scratch[:, sl] = o_ext[:, :head_dim] / jnp.maximum(
+            o_ext[:, head_dim:], 1e-30)
     # int8 serving path: the proj matmul consumes a quantized tensor anyway,
     # so quantize here — the full row is on-chip — instead of writing bf16 to
     # HBM and re-reading it in a separate rowquant pass.
@@ -419,8 +505,8 @@ def _attn_quant_kernel_flat(q_ref, k_ref, v_ref, oq_ref, os_ref, scratch,
     k = k_ref[...]
     v = v_ref[...]
     NP = q.shape[0]
-    key_pad = jax.lax.broadcasted_iota(jnp.int32, (NP, NP), 1) >= n_real
-    fold = shift_mode != "max" and not qk_int8 and _pow2(scale)
+    legacy = qk_int8 or pv_int8
+    fold = not legacy and _pow2(scale)
     if fold:
         q = q * jnp.asarray(scale, q.dtype)  # see _attn_quant_kernel
     if shift_mode == "bound" and fold:
@@ -431,34 +517,48 @@ def _attn_quant_kernel_flat(q_ref, k_ref, v_ref, oq_ref, os_ref, scratch,
                              kn2_mask_rows=row_pad)
     else:
         bound = None
+    key_pad = jax.lax.broadcasted_iota(jnp.int32, (NP, NP), 1) >= n_real
     for i in range(num_heads):
         sl = slice(i * head_dim, (i + 1) * head_dim)
-        s = _head_scores(q, k, sl, 1.0 if fold else scale, qk_int8)
-        s = jnp.where(key_pad, -1e30, s)
+        if legacy:
+            s = _head_scores(q, k, sl, scale, qk_int8)
+            s = jnp.where(key_pad, -1e30, s)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            if pv_int8:
+                p = p / jnp.sum(p, axis=-1, keepdims=True)
+                scratch[:, sl] = _head_av(p, v, sl, True)
+            else:
+                v_ext = jnp.concatenate(
+                    [v[:, sl], jnp.ones((NP, 1), v.dtype)], axis=1
+                )
+                o_ext = jax.lax.dot(
+                    p.astype(v.dtype), v_ext,
+                    preferred_element_type=jnp.float32,
+                )
+                scratch[:, sl] = o_ext[:, :head_dim] / jnp.maximum(
+                    o_ext[:, head_dim:], 1e-30)
+            continue
         if bound is not None:
             # exp(-1e30 - shift) == 0 exactly, so masked keys contribute
             # nothing to P@V or to the ones-column rowsum; padded QUERY
             # rows are garbage either way and stay row-local downstream.
-            p = jnp.exp(s - bound[:, i:i + 1])
+            shift = bound[:, i:i + 1]
         elif shift_mode == "fixed" and fold:
-            p = jnp.exp(s - _FIXED_SHIFT)
+            shift = _FIXED_SHIFT
         else:
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
-        if pv_int8:
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
-            scratch[:, sl] = _head_av(p, v, sl, True)
-        else:
-            # normalizer folded into the PV matmul (see _attn_kernel)
-            v_ext = jnp.concatenate(
-                [v[:, sl], jnp.ones((NP, 1), v.dtype)], axis=1
-            )
-            o_ext = jax.lax.dot(
-                p.astype(v.dtype), v_ext,
-                preferred_element_type=jnp.float32,
-            )
-            scratch[:, sl] = o_ext[:, :head_dim] / jnp.maximum(
-                o_ext[:, head_dim:], 1e-30)
+            shift = None
+        s = _head_scores(q, k, sl, 1.0 if fold else scale, False)
+        s = jnp.where(key_pad, -1e30, s)
+        if shift is None:
+            shift = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - shift).astype(v.dtype)
+        v_ext = jnp.concatenate(
+            [v[:, sl], jnp.ones((NP, 1), v.dtype)], axis=1
+        )
+        o_ext = jax.lax.dot(p, v_ext, preferred_element_type=jnp.float32)
+        scratch[:, sl] = o_ext[:, :head_dim] / jnp.maximum(
+            o_ext[:, head_dim:], 1e-30)
     o = scratch[...].astype(jnp.float32)
     amax = jnp.maximum(jnp.max(jnp.abs(o), axis=-1, keepdims=True), 1e-8)
     oq_ref[...] = jnp.clip(jnp.round(o * (127.0 / amax)), -127, 127

@@ -84,8 +84,22 @@ def _gelu_sigmoid(x):
     return x / (1.0 + jnp.exp(-1.702 * x))
 
 
-def _gelu(x, approx: bool):
-    return _gelu_sigmoid(x) if approx else _gelu_erf(x)
+def _gelu_hard(x):
+    """Hard-sigmoid GELU x*clip(0.4255x + 0.5, 0, 1): three cheap VPU ops,
+    no transcendental at all. Max |delta| vs erf-GELU ~0.08 near |x|~2 —
+    about one fc1 output rowquant step; gated on end-to-end accuracy
+    validation (experiments/int8_eval.py) like the sigmoid form."""
+    return x * jnp.clip(0.4255 * x + 0.5, 0.0, 1.0)
+
+
+_GELUS = {"erf": _gelu_erf, "sigmoid": _gelu_sigmoid, "hard": _gelu_hard}
+
+
+def _gelu(x, approx):
+    # approx: legacy bool (True = sigmoid) or a mode string (_GELUS key)
+    if isinstance(approx, bool):
+        approx = "sigmoid" if approx else "erf"
+    return _GELUS[approx](x)
 
 
 def _gelu_quant_kernel(xq_ref, xs_ref, wq_ref, ws_ref, b_ref,

@@ -250,16 +250,17 @@ def quant_dense_q(xq, x_scale, wq, w_scale, bias, out_dtype=jnp.bfloat16):
     return (acc.astype(jnp.float32) * x_scale * w_scale + bias).astype(out_dtype)
 
 
-def _approx_gelu() -> bool:
-    """CHESS_VISION_GELU selects the int8 serving path's fc1 GELU: sigmoid
-    (default) is x*sigmoid(1.702x) — one exp vs the ~18-op erf rational,
-    worth +18% end-to-end (2,937 -> 3,466 boards/s, EXPERIMENTS.md round 3)
-    — and erf restores the reference-exact form. Validated on the trained
-    ViT checkpoint: 100% per-square argmax agreement with the bf16/erf path
-    (experiments/int8_eval.py, 2026-08-17). Read at trace time."""
+def _approx_gelu() -> str:
+    """CHESS_VISION_GELU selects the int8 serving path's fc1 GELU:
+    sigmoid (default) is x*sigmoid(1.702x) — one exp vs the ~18-op erf
+    rational, worth +18% end-to-end (2,937 -> 3,466 boards/s, EXPERIMENTS.md
+    round 3); hard is x*clip(0.4255x+0.5, 0, 1) — no transcendental; erf
+    restores the reference-exact form. sigmoid and hard are validated on
+    trained ViT checkpoints via experiments/int8_eval.py before becoming
+    defaults. Read at trace time."""
     import os
 
-    return os.environ.get("CHESS_VISION_GELU", "sigmoid") == "sigmoid"
+    return os.environ.get("CHESS_VISION_GELU", "sigmoid")
 
 
 def _block_tpu(x, xq, xs, q, next_ln, num_heads=12, interpret=False):
@@ -352,8 +353,11 @@ def _block(x, q, num_heads=12):
                         q["proj"]["bias"]).astype(jnp.bfloat16)
     h = _layernorm(x, q["norm2"])
     h = quant_dense(h, q["fc1"]["wq"], q["fc1"]["scale"], q["fc1"]["bias"])
-    if _approx_gelu():  # same CHESS_VISION_GELU semantics as the TPU kernels
+    mode = _approx_gelu()  # same CHESS_VISION_GELU semantics as TPU kernels
+    if mode == "sigmoid":
         h = h * jax.nn.sigmoid(1.702 * h)
+    elif mode == "hard":
+        h = h * jnp.clip(0.4255 * h + 0.5, 0.0, 1.0)
     else:
         h = jax.nn.gelu(h, approximate=False)
     x = x + quant_dense(h, q["fc2"]["wq"], q["fc2"]["scale"],
