@@ -131,10 +131,22 @@ def run_bench(batch: int, seconds: float, mode: str, use_int8: bool) -> None:
         from chess_vision_tpu.ops.quant import quantize_chessvit
         from chess_vision_tpu.serve import make_int8_infer_fn
 
+        calib = None
+        if os.environ.get("CVT_BENCH_CALIB", "0") == "1":
+            # calibrate per-layer softmax shifts on a synthetic batch (the
+            # recommended serving config; serve.py --calib does the same on
+            # real inputs at load time)
+            STATE["stage"] = "calibrate"
+            crng = np.random.default_rng(7)
+            calib = ((crng.integers(0, 256, (8, 256, 256, 3)) / 255.0 - 0.5)
+                     / 0.5).astype(np.float32)
         STATE["stage"] = "upload_pack"
-        params = jax.device_put(quantize_chessvit(params))
+        pack = quantize_chessvit(params, calib=calib)
+        shifts = pack.pop("attn_shifts", None)
+        params = jax.device_put(pack)
         infer = make_int8_infer_fn(
-            mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5), mode=mode
+            mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5), mode=mode,
+            attn_shifts=shifts,
         )
     else:
         infer = make_infer_fn(

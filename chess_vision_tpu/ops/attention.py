@@ -321,7 +321,7 @@ def _head_av(p, v, sl, pv_int8):
 
 def _attn_quant_kernel(q_ref, k_ref, v_ref, oq_ref, os_ref, scratch,
                        *, num_heads, head_dim, scale, qk_int8, pv_int8,
-                       shift_mode):
+                       shift_mode, fixed_shift=_FIXED_SHIFT):
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
@@ -360,7 +360,7 @@ def _attn_quant_kernel(q_ref, k_ref, v_ref, oq_ref, os_ref, scratch,
         if bound is not None:
             shift = bound[:, i:i + 1]
         elif shift_mode == "fixed" and fold:
-            shift = _FIXED_SHIFT
+            shift = fixed_shift
         else:
             shift = None  # exact per-row max
         if split:
@@ -401,12 +401,16 @@ def _attn_int8_mode() -> tuple[bool, bool]:
 def fused_qkv_attention_quant(qkv: jnp.ndarray, num_heads: int,
                               interpret: bool = False,
                               qk_int8: bool | None = None,
-                              pv_int8: bool | None = None):
+                              pv_int8: bool | None = None,
+                              softmax_shift: float | None = None):
     """(B, N, 3*H*Dh) packed qkv -> (int8 (B, N, H*Dh), f32 (B, N, 1)).
 
     Attention + dynamic per-token int8 quantization of the output in one
     kernel (serving path: feeds the int8 proj matmul). Falls back to
-    attention-then-quant in plain XLA off-TPU.
+    attention-then-quant in plain XLA off-TPU. softmax_shift overrides the
+    CHESS_VISION_ATTN_SOFTMAX mode with a CALIBRATED per-layer fixed shift
+    (quant.calibrate_attn_shifts stores them in the quant pack) — the
+    fastest mode, made safe by measuring each layer's logit range.
     """
     B, N, C3 = qkv.shape
     D = C3 // 3
@@ -428,11 +432,15 @@ def fused_qkv_attention_quant(qkv: jnp.ndarray, num_heads: int,
         lambda b, part=part: (b, 0, part),
         memory_space=pltpu.VMEM,
     )
+    if softmax_shift is not None:
+        mode, fixed = "fixed", float(softmax_shift)
+    else:
+        mode, fixed = _softmax_shift_mode(), _FIXED_SHIFT
     return pl.pallas_call(
         functools.partial(_attn_quant_kernel, num_heads=num_heads,
                           head_dim=head_dim, scale=scale, qk_int8=qk_int8,
-                          pv_int8=pv_int8,
-                          shift_mode=_softmax_shift_mode()),
+                          pv_int8=pv_int8, shift_mode=mode,
+                          fixed_shift=fixed),
         out_shape=(
             jax.ShapeDtypeStruct((B, N, D), jnp.int8),
             jax.ShapeDtypeStruct((B, N, 1), jnp.float32),
@@ -495,7 +503,7 @@ def fused_qkv_attention(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
 
 def _attn_quant_kernel_flat(q_ref, k_ref, v_ref, oq_ref, os_ref, scratch,
                             *, num_heads, head_dim, scale, n_real, qk_int8,
-                            pv_int8, shift_mode):
+                            pv_int8, shift_mode, fixed_shift=_FIXED_SHIFT):
     """One image per grid cell on the FLAT layout: refs are (NP, D) slabs of
     the (M, 3D) qkv stream. Key columns >= n_real (token padding) are masked
     out of the softmax; padded query rows produce garbage that stays
@@ -545,7 +553,7 @@ def _attn_quant_kernel_flat(q_ref, k_ref, v_ref, oq_ref, os_ref, scratch,
             # rows are garbage either way and stay row-local downstream.
             shift = bound[:, i:i + 1]
         elif shift_mode == "fixed" and fold:
-            shift = _FIXED_SHIFT
+            shift = fixed_shift
         else:
             shift = None
         s = _head_scores(q, k, sl, 1.0 if fold else scale, False)
@@ -569,7 +577,8 @@ def _attn_quant_kernel_flat(q_ref, k_ref, v_ref, oq_ref, os_ref, scratch,
 def fused_qkv_attention_quant_flat(qkv, images: int, n_real: int,
                                    num_heads: int, interpret: bool = False,
                                    qk_int8: bool | None = None,
-                                   pv_int8: bool | None = None):
+                                   pv_int8: bool | None = None,
+                                   softmax_shift: float | None = None):
     """Flat-layout attention + int8 output quant for the serving path.
 
     qkv: (M, 3*H*Dh) packed qkv with M = images * NP (NP = padded tokens per
@@ -587,6 +596,10 @@ def fused_qkv_attention_quant_flat(qkv, images: int, n_real: int,
     if pv_int8 is None:
         pv_int8 = env_pv
     scale = 1.0 / math.sqrt(head_dim)
+    if softmax_shift is not None:
+        mode, fixed = "fixed", float(softmax_shift)
+    else:
+        mode, fixed = _softmax_shift_mode(), _FIXED_SHIFT
     if jax.default_backend() != "tpu" and not interpret:
         # XLA fallback (CPU test meshes): identical math on the real rows;
         # padded rows differ (they are discarded downstream).
@@ -607,8 +620,8 @@ def fused_qkv_attention_quant_flat(qkv, images: int, n_real: int,
     return pl.pallas_call(
         functools.partial(_attn_quant_kernel_flat, num_heads=num_heads,
                           head_dim=head_dim, scale=scale, n_real=n_real,
-                          qk_int8=qk_int8, pv_int8=pv_int8,
-                          shift_mode=_softmax_shift_mode()),
+                          qk_int8=qk_int8, pv_int8=pv_int8, shift_mode=mode,
+                          fixed_shift=fixed),
         out_shape=(
             jax.ShapeDtypeStruct((M, D), jnp.int8),
             jax.ShapeDtypeStruct((M, 1), jnp.float32),

@@ -70,8 +70,12 @@ def quant_dense(x, wq, w_scale, bias):
     return out + bias
 
 
-def quantize_chessvit(params: dict) -> dict:
-    """ChessViT param tree (models/vit.py) -> int8 inference pack."""
+def quantize_chessvit(params: dict, calib=None, num_heads: int = 12) -> dict:
+    """ChessViT param tree (models/vit.py) -> int8 inference pack.
+
+    calib: optional (B, S, S, 3) normalized calibration images; when given,
+    per-layer fixed softmax shifts are measured (calibrate_attn_shifts) and
+    stored in the pack — the fastest attention mode, checkpoint-safe."""
     bb = params["backbone"]
     pack = {
         "patch_embed": jax.tree.map(np.asarray, bb["patch_embed"]),
@@ -98,6 +102,8 @@ def quantize_chessvit(params: dict) -> dict:
                        "bias": np.asarray(sub["bias"], np.float32)}
         pack["blocks"].append(q)
         i += 1
+    if calib is not None:
+        pack["attn_shifts"] = calibrate_attn_shifts(pack, calib, num_heads)
     return pack
 
 
@@ -263,7 +269,8 @@ def _approx_gelu() -> str:
     return os.environ.get("CHESS_VISION_GELU", "sigmoid")
 
 
-def _block_tpu(x, xq, xs, q, next_ln, num_heads=12, interpret=False):
+def _block_tpu(x, xq, xs, q, next_ln, num_heads=12, interpret=False,
+               softmax_shift=None):
     """One ViT block on the fused-kernel serving path.
 
     x: (B, N, D) bf16 residual stream; xq/xs: this block's LN1 output already
@@ -285,7 +292,8 @@ def _block_tpu(x, xq, xs, q, next_ln, num_heads=12, interpret=False):
 
     qkv = quant_dense_q(xq, xs, q["qkv"]["wq"], q["qkv"]["scale"],
                         q["qkv"]["bias"])
-    aq, as_ = fused_qkv_attention_quant(qkv, num_heads, interpret=interpret)
+    aq, as_ = fused_qkv_attention_quant(qkv, num_heads, interpret=interpret,
+                                        softmax_shift=softmax_shift)
     x, hq, hs = int8_matmul_res_ln_quant(
         aq, as_, q["proj"]["wq"], q["proj"]["scale"], q["proj"]["bias"],
         x, q["norm2"]["scale"], q["norm2"]["bias"], interpret=interpret)
@@ -304,7 +312,7 @@ def _block_tpu(x, xq, xs, q, next_ln, num_heads=12, interpret=False):
 
 
 def _block_tpu_flat(x, xq, xs, q, next_ln, images, n_real,
-                    num_heads=12, interpret=False):
+                    num_heads=12, interpret=False, softmax_shift=None):
     """One ViT block on the FLAT (M-blocked) serving path.
 
     Same fusion structure as _block_tpu but every tensor is a flat (M, D)
@@ -323,7 +331,8 @@ def _block_tpu_flat(x, xq, xs, q, next_ln, images, n_real,
     qkv = quant_dense_q(xq, xs, q["qkv"]["wq"], q["qkv"]["scale"],
                         q["qkv"]["bias"])
     aq, as_ = fused_qkv_attention_quant_flat(qkv, images, n_real, num_heads,
-                                             interpret=interpret)
+                                             interpret=interpret,
+                                             softmax_shift=softmax_shift)
     x, hq, hs = int8_matmul_res_ln_quant_flat(
         aq, as_, q["proj"]["wq"], q["proj"]["scale"], q["proj"]["bias"],
         x, q["norm2"]["scale"], q["norm2"]["bias"], interpret=interpret)
@@ -365,8 +374,8 @@ def _block(x, q, num_heads=12):
     return x
 
 
-def chessvit_int8_apply(pack: dict, images) -> dict:
-    """images: (B, S, S, 3) normalized (model-dtype) -> ChessViT output dict."""
+def _embed(pack: dict, images):
+    """Patch-embed + cls + pos: (B, S, S, 3) -> ((B, N, D) bf16, grid G)."""
     pe = pack["patch_embed"]
     x = jax.lax.conv_general_dilated(
         images.astype(jnp.bfloat16),
@@ -380,6 +389,60 @@ def chessvit_int8_apply(pack: dict, images) -> dict:
     x = x.reshape(B, G * G, D)
     cls = jnp.broadcast_to(pack["cls_token"], (B, 1, D)).astype(x.dtype)
     x = jnp.concatenate([cls, x], axis=1) + pack["pos_embed"].astype(x.dtype)
+    return x, G
+
+
+def calibrate_attn_shifts(pack: dict, images, num_heads: int = 12,
+                          margin: float = 40.0, guard: float = 80.0):
+    """Per-layer fixed softmax shifts for the serving attention kernels.
+
+    The fixed-shift softmax is the fastest mode (no per-row shift work at
+    all) but is only safe inside a measured logit band — trained ViTs here
+    range from <=16 to 126 across checkpoints (EXPERIMENTS.md round 3). This
+    runs the int8 block math (the XLA form — the same quantized qkv the
+    serving kernel sees) on calibration images and records, per layer, the
+    max attention logit smax and the smallest per-row logit max rmin:
+
+      shift = smax - margin   ->  exp(s - shift) <= e^margin at calibration;
+                                  overflow needs a deployment logit to
+                                  exceed calibration smax by 88 - margin.
+      calibratable only when rmin >= shift - guard: every row keeps a
+      normalizer at least e^-guard above the f32/bf16 flush line, so no row
+      degrades to the rowsum-floor fallback.
+
+    Returns a per-layer list: float shift, or None where the layer must
+    keep the adaptive bound-shift mode (wide logit spread). Store as
+    pack["attn_shifts"]; chessvit_int8_apply threads them into the kernels.
+    """
+    x, _ = _embed(pack, images)
+    shifts: list = []
+    for q in pack["blocks"]:
+        h = _layernorm(x, q["norm1"])
+        qkv = quant_dense(h, q["qkv"]["wq"], q["qkv"]["scale"],
+                          q["qkv"]["bias"])
+        B, N, C3 = qkv.shape
+        D = C3 // 3
+        parts = qkv.reshape(B, N, 3, num_heads, D // num_heads)
+        qh, kh = parts[:, :, 0], parts[:, :, 1]
+        sc = 1.0 / math.sqrt(qh.shape[-1])
+        sco = jnp.einsum("bqhd,bkhd->bhqk", qh.astype(jnp.float32),
+                         kh.astype(jnp.float32)) * sc
+        smax = float(jnp.max(sco))
+        rmin = float(jnp.min(jnp.max(sco, axis=-1)))
+        shift = smax - margin
+        shifts.append(shift if rmin >= shift - guard else None)
+        x = _block(x, q, num_heads)
+    return shifts
+
+
+def chessvit_int8_apply(pack: dict, images, attn_shifts=None) -> dict:
+    """images: (B, S, S, 3) normalized (model-dtype) -> ChessViT output dict.
+
+    attn_shifts: calibrated per-layer softmax shifts (floats/None, STATIC —
+    do not pass traced values; pop "attn_shifts" off a device_put pack)."""
+    x, G = _embed(pack, images)
+    B = x.shape[0]
+    D = x.shape[-1]
 
     blocks = pack["blocks"]
     N = x.shape[1]
@@ -401,17 +464,21 @@ def chessvit_int8_apply(pack: dict, images) -> dict:
             x = x.reshape(B * NP, D)
             xq, xs = fused_rowquant(x, "ln", blocks[0]["norm1"]["scale"],
                                     blocks[0]["norm1"]["bias"])
+            shifts = attn_shifts or [None] * len(blocks)
             for i, q in enumerate(blocks):
                 nxt = blocks[i + 1]["norm1"] if i + 1 < len(blocks) else None
                 x, xq, xs = _block_tpu_flat(x, xq, xs, q, nxt,
-                                            images=B, n_real=N)
+                                            images=B, n_real=N,
+                                            softmax_shift=shifts[i])
             x = x.reshape(B, NP, D)[:, :N]
         else:
             xq, xs = fused_rowquant(x, "ln", blocks[0]["norm1"]["scale"],
                                     blocks[0]["norm1"]["bias"])
+            shifts = attn_shifts or [None] * len(blocks)
             for i, q in enumerate(blocks):
                 nxt = blocks[i + 1]["norm1"] if i + 1 < len(blocks) else None
-                x, xq, xs = _block_tpu(x, xq, xs, q, nxt)
+                x, xq, xs = _block_tpu(x, xq, xs, q, nxt,
+                                       softmax_shift=shifts[i])
     else:
         for q in blocks:
             x = _block(x, q)

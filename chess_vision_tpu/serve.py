@@ -61,14 +61,19 @@ def make_infer_fn(model, mean, std, mode: str = "rgb"):
     return jax.jit(forward)
 
 
-def make_int8_infer_fn(mean, std, mode: str = "rgb"):
+def make_int8_infer_fn(mean, std, mode: str = "rgb", attn_shifts=None):
     """Int8 (W8A8) ChessViT inference program (ops/quant.py) with the same
     signature/outputs as make_infer_fn — the quantized pack rides in the
     `params` slot as a jit ARGUMENT, not a closure capture. Closure-captured
     numpy weights get baked into the HLO as constants: a ~370MB program that
     recompiles on any weight change and takes minutes to ship through a
     remote-compile tunnel. As an argument the program is small/cacheable and
-    the pack uploads once via device_put."""
+    the pack uploads once via device_put.
+
+    attn_shifts: calibrated per-layer softmax shifts (see
+    quant.calibrate_attn_shifts). They select kernel code, so they close
+    over the trace STATICALLY — pop them off the pack before device_put
+    rather than shipping them as traced values."""
     from chess_vision_tpu.ops.preprocess import (
         preprocess_u8,
         ycbcr420_to_normalized,
@@ -76,7 +81,7 @@ def make_int8_infer_fn(mean, std, mode: str = "rgb"):
     from chess_vision_tpu.ops.quant import chessvit_int8_apply
 
     def _head(pack, x):
-        out = chessvit_int8_apply(pack, x)
+        out = chessvit_int8_apply(pack, x, attn_shifts=attn_shifts)
         preds = jnp.argmax(out["squares"].reshape(-1, 64, 13), axis=-1)
         return (
             preds.astype(jnp.uint8),
@@ -119,7 +124,7 @@ class Predictor:
     def __init__(self, checkpoint_path: str, batch_size: int = 256,
                  decode_workers: int = 8, inflight: int = 4,
                  mode: str = "rgb", quant: str | None = None,
-                 mesh=None):
+                 mesh=None, calib_paths=None):
         ckpt = load_checkpoint(checkpoint_path)
         self.cfg = ckpt["config"]
         self.model = build_model(self.cfg)
@@ -136,11 +141,26 @@ class Predictor:
                 raise ValueError("int8 quantization currently supports arch=vit")
             from chess_vision_tpu.ops.quant import quantize_chessvit
 
-            # upload the pack once; it then rides in the params slot
-            self.params = jax.device_put(quantize_chessvit(self.params))
+            calib = None
+            if calib_paths:
+                # Per-layer softmax-shift calibration (the fastest attention
+                # mode, made checkpoint-safe by measuring each layer's logit
+                # range on real inputs; quant.calibrate_attn_shifts). A few
+                # images suffice — the margins leave ~48 logits of headroom.
+                imgs = np.stack([self._decode(pth) for pth in calib_paths])
+                m = np.asarray(data_cfg["mean"], np.float32) * 255.0
+                sd = np.asarray(data_cfg["std"], np.float32) * 255.0
+                calib = (imgs.astype(np.float32) - m) / sd
+            # upload the pack once; it then rides in the params slot.
+            # Calibrated shifts are STATIC (they pick kernel code): pop
+            # them before device_put and close them into the program.
+            pack = quantize_chessvit(self.params, calib=calib)
+            shifts = pack.pop("attn_shifts", None)
+            self.params = jax.device_put(pack)
             self.batch_stats = {}
             self.infer = make_int8_infer_fn(
-                data_cfg["mean"], data_cfg["std"], mode=mode
+                data_cfg["mean"], data_cfg["std"], mode=mode,
+                attn_shifts=shifts,
             )
         else:
             self.infer = make_infer_fn(

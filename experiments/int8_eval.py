@@ -71,6 +71,9 @@ def main():
     ap.add_argument("--max-samples", type=int, default=4096)
     ap.add_argument("--batch-size", type=int, default=256)
     ap.add_argument("--mode", default="ycbcr420")
+    ap.add_argument("--calib", type=int, default=0,
+                    help="calibrate per-layer softmax shifts on the first N "
+                         "images (0 = adaptive bound shifts)")
     args = ap.parse_args()
 
     from chess_vision_tpu.utils.platform import apply_platform_env
@@ -91,7 +94,8 @@ def main():
         name = quant or "bf16"
         t0 = time.time()
         p = Predictor(args.checkpoint, batch_size=args.batch_size,
-                      mode=args.mode, quant=quant)
+                      mode=args.mode, quant=quant,
+                      calib_paths=paths[:args.calib] if quant else None)
         fens = p.predict_files(paths)
         dt = time.time() - t0
         m, sq = metrics_from_fens(fens, labels)

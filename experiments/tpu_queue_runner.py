@@ -289,6 +289,71 @@ def main() -> None:
             ckpt_dir="/root/ckpt_square",
             timeout_s=3 * 3600, stall_s=2400)
 
+    # -- 8. CNN from scratch on the full 120k-cap corpus -------------------
+    # (runs 07/09 saw only a 50k sample; epochs cost ~2 min at the measured
+    # 908 img/s, so reference-scale data is now cheap for the 28M arch)
+    if enabled("cnn120"):
+        train_with_retries(
+            "train_cnn120",
+            [py, "train.py", "--config", "configs/cnn_tpu.yaml", "--set",
+             "model.pretrained=false", "data.transport=ycbcr420",
+             # 96k, not the 120k ViT cap: ConvNeXt trains without remat, so
+             # its fwd+bwd activations (~6 GB at b=128/256px) must fit next
+             # to the cache (96k = 8.9 GB); 120k OOM'd (queue log a0).
+             "data.num_workers=8", "data.max_samples=96000",
+             "data.ood_val_dir=data/test_random",
+             "data.device_cache=true", "data.device_cache_budget_gb=10",
+             "data.device_cache_chunk=16",
+             "training.epochs=6", "training.batch_size=128",
+             "training.lr=0.0002",
+             "checkpointing.save_dir=/root/ckpt_cnn120",
+             "logging.tensorboard_dir=/root/runs_cnn120"],
+            ckpt_dir="/root/ckpt_cnn120",
+            timeout_s=4 * 3600, stall_s=2400, fresh_first=True)
+        if os.path.exists("/root/ckpt_cnn120/best.ckpt"):
+            for tag, tdir, cap in (("test", "data/test", "2048"),
+                                   ("random", "data/test_random", "2048"),
+                                   ("lathe", "data/test_lathe", None)):
+                cmd = [py, "evaluate.py",
+                       "--checkpoint", "/root/ckpt_cnn120/best.ckpt",
+                       "--test-dir", tdir, "--batch-size", "64"]
+                if cap:
+                    cmd += ["--max-samples", cap]
+                run_step(f"eval_cnn120_{tag}", cmd, timeout_s=3600,
+                         stall_s=900)
+
+    # -- 9. square model from scratch on the full 120k-cap corpus ----------
+    if enabled("square120"):
+        train_with_retries(
+            "train_square120",
+            [py, "train.py", "--config", "configs/square_tpu.yaml", "--set",
+             "model.pretrained=false", "model.pin_backbone_bn=false",
+             "data.transport=ycbcr420",
+             # square backbone sees 64 crops/board (effective batch 8192):
+             # same activation-headroom reasoning as the CNN step
+             "data.num_workers=8", "data.max_samples=96000",
+             "data.ood_val_dir=data/test_random",
+             "data.device_cache=true", "data.device_cache_budget_gb=10",
+             "data.device_cache_chunk=16",
+             "training.batch_size=128", "training.lr=0.0003",
+             "training.epochs=10",
+             "checkpointing.save_dir=/root/ckpt_square120",
+             "logging.tensorboard_dir=/root/runs_sq120"],
+            ckpt_dir="/root/ckpt_square120",
+            timeout_s=4 * 3600, stall_s=2400, fresh_first=True)
+        if os.path.exists("/root/ckpt_square120/best.ckpt"):
+            run_step("eval_square120_test", [
+                py, "evaluate.py",
+                "--checkpoint", "/root/ckpt_square120/best.ckpt",
+                "--test-dir", "data/test", "--batch-size", "64",
+                "--max-samples", "2048"], timeout_s=3600, stall_s=900)
+
+    # -- 10. post-augfix compute-bound train-step rate at b=256 ------------
+    if enabled("trainbench2"):
+        run_step("microbench_train_256_postfix",
+                 [py, "experiments/microbench.py", "train", "256", "8"],
+                 timeout_s=1800)
+
     record("runner_end", ok=True)
     log("queue complete")
 

@@ -35,6 +35,10 @@ def main():
                              "host->device bytes; RGB rebuilt on device)")
     parser.add_argument("--quant", choices=["int8"], default=None,
                         help="int8 W8A8 inference (ViT only; 2x MXU peak)")
+    parser.add_argument("--calib", type=int, default=8,
+                        help="int8 only: calibrate per-layer softmax shifts "
+                             "on the first N inputs (0 = adaptive bound "
+                             "shifts, no calibration)")
     parser.add_argument("--out", default=None)
     args = parser.parse_args()
 
@@ -52,6 +56,7 @@ def main():
     predictor = Predictor(
         args.checkpoint, batch_size=args.batch_size,
         decode_workers=args.decode_workers, mode=args.mode, quant=args.quant,
+        calib_paths=paths[:args.calib] if args.quant == "int8" else None,
     )
     t0 = time.time()
     fens = predictor.predict_files(paths)

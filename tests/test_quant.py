@@ -251,3 +251,39 @@ def test_block_tpu_chain_matches_plain_block():
     assert np.abs(out - ref).max() < 0.25, np.abs(out - ref).max()
     rel = np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-6)
     assert rel < 0.05, rel
+
+
+def test_calibrated_softmax_shifts(rng):
+    """calibrate_attn_shifts measures per-layer logit ranges on the int8
+    block math and returns shifts usable by the serving kernels; the
+    calibrated fixed-shift forward must match the uncalibrated (bound-mode)
+    forward exactly at argmax level (the ones-column rowsum renormalizes any
+    shift — only f32 exp rounding differs)."""
+    import jax
+
+    from chess_vision_tpu.models import build_model, init_variables
+    from chess_vision_tpu.ops.quant import (
+        calibrate_attn_shifts,
+        chessvit_int8_apply,
+        quantize_chessvit,
+    )
+
+    cfg = {"model": {"arch": "vit", "input_size": 128, "head_dropout": 0.0,
+                     "drop_path_rate": 0.0},
+           "training": {"mixed_precision": False}}
+    model = build_model(cfg)
+    params = init_variables(model, 128, seed=0)["params"]
+    x = jnp.asarray(rng.normal(size=(2, 128, 128, 3)).astype(np.float32))
+
+    pack = quantize_chessvit(params, calib=x)
+    shifts = pack.pop("attn_shifts")
+    assert len(shifts) == 12
+    # random-init logits are small and tight: every layer calibratable
+    assert all(isinstance(s, float) for s in shifts)
+
+    base = chessvit_int8_apply(pack, x)
+    calibrated = chessvit_int8_apply(pack, x, attn_shifts=shifts)
+    for key in ("squares", "turn", "castling"):
+        np.testing.assert_allclose(
+            np.asarray(calibrated[key], np.float32),
+            np.asarray(base[key], np.float32), atol=1e-4)
