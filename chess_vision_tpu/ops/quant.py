@@ -414,24 +414,40 @@ def calibrate_attn_shifts(pack: dict, images, num_heads: int = 12,
     keep the adaptive bound-shift mode (wide logit spread). Store as
     pack["attn_shifts"]; chessvit_int8_apply threads them into the kernels.
     """
-    x, _ = _embed(pack, images)
+    # One jitted dispatch for the whole sweep, scanning ONE compiled block
+    # over the layer-stacked params. Eager per-layer float() pulls cost a
+    # remote compile + D2H sync per op through tunneled backends (~4 min
+    # measured), and inlining all 12 blocks in one program multiplies the
+    # Pallas-attention compile 12x (420s+ remote) — scan compiles the block
+    # once and the result is persistently cached.
+    @jax.jit
+    def _measure(pack, images):
+        x, _ = _embed(pack, images)
+        stacked = jax.tree.map(lambda *a: jnp.stack(a), *pack["blocks"])
+
+        def step(x, q):
+            h = _layernorm(x, q["norm1"])
+            qkv = quant_dense(h, q["qkv"]["wq"], q["qkv"]["scale"],
+                              q["qkv"]["bias"])
+            B, N, C3 = qkv.shape
+            D = C3 // 3
+            parts = qkv.reshape(B, N, 3, num_heads, D // num_heads)
+            qh, kh = parts[:, :, 0], parts[:, :, 1]
+            sc = 1.0 / math.sqrt(qh.shape[-1])
+            sco = jnp.einsum("bqhd,bkhd->bhqk", qh.astype(jnp.float32),
+                             kh.astype(jnp.float32)) * sc
+            stats = jnp.stack([jnp.max(sco),
+                               jnp.min(jnp.max(sco, axis=-1))])
+            return _block(x, q, num_heads), stats
+
+        _, stats = jax.lax.scan(step, x, stacked)
+        return stats  # (L, 2): [smax, rmin] per layer
+
+    stats = np.asarray(_measure(pack, jnp.asarray(images)))
     shifts: list = []
-    for q in pack["blocks"]:
-        h = _layernorm(x, q["norm1"])
-        qkv = quant_dense(h, q["qkv"]["wq"], q["qkv"]["scale"],
-                          q["qkv"]["bias"])
-        B, N, C3 = qkv.shape
-        D = C3 // 3
-        parts = qkv.reshape(B, N, 3, num_heads, D // num_heads)
-        qh, kh = parts[:, :, 0], parts[:, :, 1]
-        sc = 1.0 / math.sqrt(qh.shape[-1])
-        sco = jnp.einsum("bqhd,bkhd->bhqk", qh.astype(jnp.float32),
-                         kh.astype(jnp.float32)) * sc
-        smax = float(jnp.max(sco))
-        rmin = float(jnp.min(jnp.max(sco, axis=-1)))
-        shift = smax - margin
-        shifts.append(shift if rmin >= shift - guard else None)
-        x = _block(x, q, num_heads)
+    for smax, rmin in stats:
+        shift = float(smax) - margin
+        shifts.append(shift if float(rmin) >= shift - guard else None)
     return shifts
 
 
