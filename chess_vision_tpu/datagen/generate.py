@@ -83,6 +83,9 @@ def generate_split(
     assets_dir: str | None = None,
     start_index: int = 0,
     style_patterns: list[str] | None = None,
+    spline_pct: float = 0.0,
+    spline_families: int = 0,
+    geom_jitter: float = 0.0,
 ) -> int:
     """Generate one split. sources = [("random", n), ("game", m), ...].
 
@@ -103,7 +106,8 @@ def generate_split(
         extra = entry[2] if len(entry) > 2 else {}
         positions.extend(
             sample_positions(rng, count, source=source,
-                             pgn_path=extra.get("path"))
+                             pgn_path=extra.get("path"),
+                             policy=extra.get("policy", "human"))
         )
     order = rng.permutation(len(positions))
     positions = [positions[i] for i in order]
@@ -113,7 +117,10 @@ def generate_split(
     for i, pos in enumerate(positions):
         style = random_style(rng, highlight_pct=highlight_pct,
                              flip_pct=flip_pct, texture_pct=texture_pct,
-                             last_move=pos.last_move, styles=style_pool)
+                             last_move=pos.last_move, styles=style_pool,
+                             spline_pct=spline_pct,
+                             spline_families=spline_families,
+                             geom_jitter=geom_jitter)
         render_seed = int(rng.integers(0, 2**31 - 1))
         pos_fields = (pos.placement, pos.turn, pos.castling, pos.en_passant,
                       pos.legal)
@@ -161,6 +168,9 @@ def run_from_config(path: str) -> None:
     highlight_pct = rendering.get("highlight_pct", 0.6)
     flip_pct = rendering.get("flip_pct", 0.3)
     texture_pct = rendering.get("texture_pct", 0.5)
+    spline_pct = rendering.get("spline_pct", 0.0)
+    spline_families = rendering.get("spline_families", 0)
+    geom_jitter = rendering.get("geom_jitter", 0.0)
     assets_dir = rendering.get("assets_dir")
     if assets_dir and not os.path.isabs(assets_dir):
         assets_dir = os.path.join(os.path.dirname(os.path.abspath(path)),
@@ -187,6 +197,9 @@ def run_from_config(path: str) -> None:
             texture_pct=texture_pct, assets_dir=split_assets,
             start_index=split.get("start_index", 0),
             style_patterns=split.get("styles") or rendering.get("styles"),
+            spline_pct=split.get("spline_pct", spline_pct),
+            spline_families=split.get("spline_families", spline_families),
+            geom_jitter=split.get("geom_jitter", geom_jitter),
         )
         print(f"split {name}: {n} images -> {out_dir}")
 

@@ -67,10 +67,55 @@ def random_position(rng: np.random.Generator) -> Position:
     return Position(placement=labels_to_fen(board))
 
 
+_PIECE_VALUE = {"P": 1.0, "N": 3.0, "B": 3.2, "R": 5.0, "Q": 9.0, "K": 0.0}
+
+
+def _score_move(game, m, ply: int) -> float:
+    """Cheap human-plausibility score for softmax move sampling.
+
+    Uniform-random self-play produces castling statistics unlike real games
+    (the round-3 full_fen deficit traced to the castling/turn heads): kings
+    wander early, rights die without castling ever happening, and boards
+    where K+R sit on their start squares without rights — visually
+    unknowable labels — are common. This pushes games toward the real-game
+    shape the reference trains on via Lichess PGNs (positions.js:127-160):
+    develop minors, castle when available, keep king/rooks home early."""
+    piece = game.board[m.src]
+    kind = piece.upper()
+    captured = game.board[m.dst]
+    s = 0.0
+    if kind == "K":
+        if abs((m.src % 8) - (m.dst % 8)) == 2:
+            s += 9.0                        # castling: strongly preferred
+        else:
+            s -= 5.0 if ply < 40 else 1.0   # pointless king walks
+    if captured != ".":
+        s += 1.0 + 0.6 * _PIECE_VALUE[captured.upper()]
+    if ply < 20:
+        if kind in ("N", "B"):
+            s += 1.5                        # development
+        elif kind == "P":
+            s += 1.0 if (m.src % 8) in (3, 4) else 0.3
+        elif kind == "Q":
+            s -= 1.0
+    if kind == "R" and ply < 24:
+        s -= 2.0                            # preserve rights until castled
+    if m.promo:
+        s += 2.0 if m.promo.lower() == "q" else -1.5
+    return s
+
+
 def game_positions(
-    rng: np.random.Generator, n_games: int, max_plies: int = 120
+    rng: np.random.Generator,
+    n_games: int,
+    max_plies: int = 120,
+    policy: str = "human",
 ) -> list[Position]:
-    """All intermediate positions of pseudo-random self-played legal games."""
+    """All intermediate positions of self-played legal games.
+
+    policy="human": moves sampled from a softmax over _score_move (castling
+    happens in most games, rights persist realistically). policy="uniform":
+    the round-1..3 behavior, uniform over legal moves."""
     from chess_vision_tpu.datagen.chessrules import Game
 
     out: list[Position] = []
@@ -80,7 +125,15 @@ def game_positions(
             moves = game.legal_moves()
             if not moves:
                 break
-            game.push(moves[int(rng.integers(0, len(moves)))])
+            if policy == "human" and len(moves) > 1:
+                scores = np.array(
+                    [_score_move(game, m, _ply) for m in moves])
+                p = np.exp((scores - scores.max()) / 1.25)
+                p /= p.sum()
+                choice = int(rng.choice(len(moves), p=p))
+            else:
+                choice = int(rng.integers(0, len(moves)))
+            game.push(moves[choice])
             out.append(
                 Position(
                     placement=game.placement_fen(),
@@ -184,6 +237,7 @@ def sample_positions(
     source: str = "random",
     positions_per_game: float = 40.0,
     pgn_path: str | None = None,
+    policy: str = "human",
 ) -> list[Position]:
     if source == "random":
         return [random_position(rng) for _ in range(count)]
@@ -192,7 +246,7 @@ def sample_positions(
         while len(pool) < count:
             need = count - len(pool)
             n_games = max(1, int(np.ceil(need / positions_per_game)))
-            pool.extend(game_positions(rng, n_games))
+            pool.extend(game_positions(rng, n_games, policy=policy))
         idx = rng.permutation(len(pool))[:count]
         return [pool[i] for i in idx]
     if source == "pgn":

@@ -22,7 +22,7 @@ import os
 from dataclasses import dataclass, field
 
 import numpy as np
-from PIL import Image, ImageDraw, ImageFont
+from PIL import Image, ImageDraw, ImageFilter, ImageFont
 
 from chess_vision_tpu.fen import fen_to_labels
 
@@ -230,10 +230,28 @@ def random_style(
     texture_pct: float = 0.5,
     last_move: tuple | None = None,
     styles: list[str] | None = None,
+    spline_pct: float = 0.0,
+    spline_families: int = 0,
+    geom_jitter: float = 0.0,
 ) -> BoardStyle:
+    """Sample a board style. Beyond the reference's knobs (render.js
+    randomStyle, :127-150) two round-4 breadth levers:
+
+    - spline_pct/spline_families: with probability spline_pct the piece
+      style is a procedurally sampled "spline:<id>" family (id uniform in
+      [0, spline_families)) from the continuous spline-revolution grammar
+      (spline_pieces.py) instead of a fixed pool member — thousands of
+      distinct silhouette families instead of dozens.
+    - geom_jitter: per-board piece-geometry jitter — anisotropic scale,
+      shear, and outline-width delta applied to every sprite at paste time,
+      so even a repeated family never shows the exact same silhouette.
+    """
     if styles is None:
         styles = available_piece_styles()
-    piece_style = styles[int(rng.integers(0, len(styles)))]
+    if spline_families > 0 and rng.random() < spline_pct:
+        piece_style = f"spline:{int(rng.integers(0, spline_families))}"
+    else:
+        piece_style = styles[int(rng.integers(0, len(styles)))]
     if rng.random() < 0.5:
         light, dark = _FIXED_PALETTES[int(rng.integers(0, len(_FIXED_PALETTES)))]
     else:
@@ -258,6 +276,15 @@ def random_style(
         else:
             kind = TEXTURE_KINDS[int(rng.integers(0, len(TEXTURE_KINDS)))]
             texture = (kind, int(rng.integers(0, 2**31 - 1)))
+    extras = {}
+    if geom_jitter > 0:
+        g = geom_jitter
+        extras["geom"] = (
+            float(1.0 + (rng.random() - 0.5) * 2 * g),        # x scale
+            float(1.0 + (rng.random() - 0.5) * 2 * g),        # y scale
+            float((rng.random() - 0.5) * g),                  # shear
+            int(rng.integers(0, 3)) if rng.random() < 0.4 else 0,  # stroke px
+        )
     return BoardStyle(
         piece_style=piece_style,
         light=light,
@@ -267,6 +294,7 @@ def random_style(
         jitter=float(rng.random() * 0.04),
         scale=float(0.72 + rng.random() * 0.12),
         texture=texture,
+        extras=extras,
     )
 
 
@@ -294,6 +322,45 @@ def _get_piece_image(style_name: str, code: str, px: int) -> Image.Image:
         img = Image.open(sets[style_name][code]).convert("RGBA")
         _piece_img_cache[key] = img.resize((px, px), Image.LANCZOS)
     return _piece_img_cache[key]
+
+
+_geom_cache: dict = {}
+
+
+def _geom_transform(sprite: Image.Image, sx: float, sy: float,
+                    shear: float, stroke: int) -> Image.Image:
+    """Per-board piece-geometry jitter: anisotropic scale + shear about the
+    sprite's bottom-center (pieces stay seated on the square), plus an
+    optional re-outline (alpha dilation composited as a contrasting edge).
+    Deterministic in its arguments; cached per (sprite, params) because the
+    same transform applies to all pieces of one board."""
+    key = (id(sprite), round(sx, 4), round(sy, 4), round(shear, 4), stroke)
+    hit = _geom_cache.get(key)
+    if hit is not None:
+        return hit
+    w, h = sprite.size
+    out = sprite
+    if abs(sx - 1) > 1e-3 or abs(sy - 1) > 1e-3 or abs(shear) > 1e-3:
+        # inverse-map coefficients for Image.transform(AFFINE): maps output
+        # (x, y) -> input (a x + b y + c, d x + e y + f); anchor bottom-center
+        a, e = 1.0 / sx, 1.0 / sy
+        b = -shear / sx
+        c = (w / 2) * (1 - a) - b * h
+        f = h * (1 - e)
+        out = sprite.transform((w, h), Image.AFFINE, (a, b, c, 0.0, e, f),
+                               resample=Image.BILINEAR)
+    if stroke > 0:
+        alpha = out.getchannel("A")
+        grown = alpha.filter(ImageFilter.MaxFilter(2 * stroke + 1))
+        edge = Image.new("RGBA", out.size, (24, 22, 20, 255))
+        edge.putalpha(grown)
+        merged = edge
+        merged.alpha_composite(out)
+        out = merged
+    if len(_geom_cache) > 4096:
+        _geom_cache.clear()
+    _geom_cache[key] = out
+    return out
 
 
 def _get_texture_image(filename: str, size: int) -> Image.Image:
@@ -356,9 +423,13 @@ def render_board(
             )
 
     image_set = None
+    spline_family = None
     if style.piece_style.startswith("img:"):
         image_set = style.piece_style[4:]
         # piece sprites are drawn near square size; scale jitters +-8%
+        piece_px = max(8, min(int(sq_px), int(sq_px * style.scale / 0.78)))
+    elif style.piece_style.startswith("spline:"):
+        spline_family = int(style.piece_style[7:])
         piece_px = max(8, min(int(sq_px), int(sq_px * style.scale / 0.78)))
     else:
         font_name, scheme = style.piece_style.rsplit("_", 1)
@@ -382,13 +453,23 @@ def render_board(
             is_white = piece.isupper()
             kind = piece.upper()
 
-            if image_set is not None:
+            if image_set is not None or spline_family is not None:
                 jx = (rng.random() - 0.5) * 2 * style.jitter * sq_px
                 jy = (rng.random() - 0.5) * 2 * style.jitter * sq_px
                 code = ("w" if is_white else "b") + kind
-                sprite = _get_piece_image(image_set, code, piece_px)
-                x0 = int((c + 0.5) * sq_px - piece_px / 2 + jx)
-                y0 = int((r + 0.5) * sq_px - piece_px / 2 + jy)
+                if spline_family is not None:
+                    from chess_vision_tpu.datagen.spline_pieces import (
+                        procedural_sprite,
+                    )
+
+                    sprite = procedural_sprite(spline_family, code, piece_px)
+                else:
+                    sprite = _get_piece_image(image_set, code, piece_px)
+                geom = style.extras.get("geom") if style.extras else None
+                if geom is not None:
+                    sprite = _geom_transform(sprite, *geom)
+                x0 = int((c + 0.5) * sq_px - sprite.width / 2 + jx)
+                y0 = int((r + 0.5) * sq_px - sprite.height / 2 + jy)
                 img.paste(sprite, (x0, y0), sprite)
                 continue
 
