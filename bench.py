@@ -262,6 +262,16 @@ def run_bench(batch: int, seconds: float, mode: str, use_int8: bool) -> None:
 
 
 def main():
+    if "--host-pipeline" in sys.argv:
+        # Host-ingest proof (CPU only, no TPU claim): decode-pool throughput
+        # vs thread count — see experiments/host_pipeline.py for the replay
+        # (H2D-mocked) companion measurement.
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "experiments"))
+        from host_pipeline import bench_decode
+
+        bench_decode(arg("--images", 4096, int))
+        return
     batch = arg("--batch", 512, int)
     seconds = arg("--seconds", 12.0, float)
     budget = arg("--budget", float(os.environ.get("CVT_BENCH_BUDGET", 240)),

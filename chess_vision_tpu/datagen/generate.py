@@ -131,9 +131,15 @@ def generate_split(
             (start_index + i, pos_fields, style_fields, render_seed))
 
     os.makedirs(out_dir, exist_ok=True)
+    # Render order is free (each item carries its index + render_seed and
+    # rows are sorted by filename below), so group same-style items for
+    # sprite-cache locality — procedural spline families are expensive to
+    # rasterize the first time and cheap after.
+    assignments.sort(key=lambda a: a[2][0])
     workers = workers or os.cpu_count() or 4
     n_chunks = min(workers * 4, max(1, len(assignments)))
-    chunks = [assignments[i::n_chunks] for i in range(n_chunks)]
+    stride = (len(assignments) + n_chunks - 1) // n_chunks
+    chunks = [assignments[i * stride:(i + 1) * stride] for i in range(n_chunks)]
     tasks = [(out_dir, size, fmt, assets_dir, chunk) for chunk in chunks if chunk]
 
     rows: list[list] = []

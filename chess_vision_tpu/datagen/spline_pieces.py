@@ -450,13 +450,23 @@ def _family_params(family_id: int) -> tuple:
     return tuple(sorted(sample_params(rng).items()))
 
 
-@functools.lru_cache(maxsize=8192)
+@functools.lru_cache(maxsize=3072)
+def _base_sprite(family_id: int, code: str) -> Image.Image:
+    """Finished sprite at the native SPRITE size. The supersampled
+    silhouette rasterization dominates cost, so this is the cache layer
+    that matters; per-board pixel sizes resize from here (cheap).
+    The generator sorts render order by style for locality, so a few
+    thousand entries cover a corpus pass without thrashing."""
+    g = dict(_family_params(family_id))
+    mask = silhouette(code[1], g)
+    return _finish(mask, code[0] == "w", g)
+
+
+@functools.lru_cache(maxsize=4096)
 def procedural_sprite(family_id: int, code: str, px: int) -> Image.Image:
     """Sprite of piece `code` ('wK'..'bP') from procedural family_id,
     resized to px. Deterministic in (family_id, code, px)."""
-    g = dict(_family_params(family_id))
-    mask = silhouette(code[1], g)
-    sprite = _finish(mask, code[0] == "w", g)
+    sprite = _base_sprite(family_id, code)
     if px != SPRITE:
         sprite = sprite.resize((px, px), Image.LANCZOS)
     return sprite

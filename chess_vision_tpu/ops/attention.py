@@ -189,6 +189,21 @@ def _bound_shift(q, k, num_heads, head_dim, kn2_mask_rows=None):
     return jnp.sqrt(qn2 * kn2max) - _BOUND_OFFSET
 
 
+def _exp_bf16() -> bool:
+    """CHESS_VISION_ATTN_EXP=bf16 runs the softmax exp pass in bfloat16.
+
+    p is cast to bf16 for the PV matmul anyway, so moving the cast BEFORE
+    the exp changes only where the rounding lands: bf16 exp's ~0.4%
+    relative error on the softmax weights sits well under the per-row int8
+    quantization (~0.8% half-step) of the attention output that follows,
+    and the VPU packs two bf16 lanes per f32 lane on the serving path's
+    single largest elementwise pass (N x N_keys per head per image).
+    Read at trace time; default f32 until validated end-to-end."""
+    import os
+
+    return os.environ.get("CHESS_VISION_ATTN_EXP", "f32") == "bf16"
+
+
 def _head_selector(width: int, num_heads: int) -> jnp.ndarray:
     """(width, num_heads) f32 block-diagonal head selector: column h is 1 on
     the rows of head h's feature slice. Contracting a (N, width) tensor with
@@ -244,7 +259,10 @@ def _head_pv_split(q, k, v, sl, shift, extra, head_index):
         shift = jnp.max(s, axis=-1, keepdims=True)
         for e in se:
             shift = jnp.maximum(shift, e)
-    p = jnp.exp(s - shift).astype(v.dtype)
+    if _exp_bf16():
+        p = jnp.exp((s - shift).astype(v.dtype))
+    else:
+        p = jnp.exp(s - shift).astype(v.dtype)
     v_ext = jnp.concatenate(
         [v[:nm, sl], jnp.ones((nm, 1), v.dtype)], axis=1
     )
@@ -369,7 +387,10 @@ def _attn_quant_kernel(q_ref, k_ref, v_ref, oq_ref, os_ref, scratch,
             s = _head_scores(q, k, sl, 1.0 if fold else scale, False)
             if shift is None:
                 shift = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - shift).astype(v.dtype)
+            if _exp_bf16():
+                p = jnp.exp((s - shift).astype(v.dtype))
+            else:
+                p = jnp.exp(s - shift).astype(v.dtype)
             v_ext = jnp.concatenate(
                 [v[:, sl], jnp.ones((n, 1), v.dtype)], axis=1
             )
@@ -381,7 +402,10 @@ def _attn_quant_kernel(q_ref, k_ref, v_ref, oq_ref, os_ref, scratch,
             o_ext[:, head_dim:], 1e-30)
     # int8 serving path: the proj matmul consumes a quantized tensor anyway,
     # so quantize here — the full row is on-chip — instead of writing bf16 to
-    # HBM and re-reading it in a separate rowquant pass.
+    # HBM and re-reading it in a separate rowquant pass. One wide (N, D)
+    # abs+max: per-head (N, 64) reductions folded into the loop were tried
+    # and measured 1.7x SLOWER (Mosaic narrow lane reductions; 52.6 vs 30.5
+    # ms/batch at B=512 — r4 profile).
     o = scratch[...].astype(jnp.float32)
     amax = jnp.maximum(jnp.max(jnp.abs(o), axis=-1, keepdims=True), 1e-8)
     oq_ref[0] = jnp.clip(jnp.round(o * (127.0 / amax)), -127, 127
@@ -560,7 +584,10 @@ def _attn_quant_kernel_flat(q_ref, k_ref, v_ref, oq_ref, os_ref, scratch,
         s = jnp.where(key_pad, -1e30, s)
         if shift is None:
             shift = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - shift).astype(v.dtype)
+        if _exp_bf16():
+            p = jnp.exp((s - shift).astype(v.dtype))
+        else:
+            p = jnp.exp(s - shift).astype(v.dtype)
         v_ext = jnp.concatenate(
             [v[:, sl], jnp.ones((NP, 1), v.dtype)], axis=1
         )

@@ -102,13 +102,35 @@ def _gelu(x, approx):
     return _GELUS[approx](x)
 
 
+def _epilogue_bf16() -> bool:
+    """CHESS_VISION_EPILOGUE=bf16 runs the fc1 GELU+quant epilogue math in
+    bfloat16 (the VPU packs two bf16 lanes per f32 lane, halving the
+    elementwise pass cost over the (N, 4D) fc1 output — the per-op profile
+    puts fc1 at 226 vs fc2's 299 T/s-eff purely from this epilogue).
+    Numerics: bf16's ~0.4% relative error is below the ~0.8% per-row int8
+    half-step that immediately follows; gated on end-to-end accuracy
+    validation (experiments/int8_eval.py) before becoming default."""
+    import os
+
+    return os.environ.get("CHESS_VISION_EPILOGUE", "f32") == "bf16"
+
+
 def _gelu_quant_kernel(xq_ref, xs_ref, wq_ref, ws_ref, b_ref,
-                       yq_ref, ys_ref, *, bb, approx):
+                       yq_ref, ys_ref, *, bb, approx, bf16_epi=False):
     w = wq_ref[...]
     for i in range(bb):
-        y = _gelu(_matmul_f32(xq_ref[i], xs_ref[i], w,
-                              ws_ref[0], b_ref[0]), approx)
-        yq_ref[i], ys_ref[i] = _rowquant(y)
+        y = _matmul_f32(xq_ref[i], xs_ref[i], w, ws_ref[0], b_ref[0])
+        if bf16_epi:
+            g = _gelu(y.astype(jnp.bfloat16), approx)
+            amax = jnp.maximum(
+                jnp.max(jnp.abs(g), axis=-1, keepdims=True
+                        ).astype(jnp.float32), 1e-8)
+            yq_ref[i] = jnp.clip(
+                jnp.round(g.astype(jnp.float32) * (127.0 / amax)),
+                -127, 127).astype(jnp.int8)
+            ys_ref[i] = amax * (1.0 / 127.0)
+        else:
+            yq_ref[i], ys_ref[i] = _rowquant(_gelu(y, approx))
 
 
 def _res_ln_quant_kernel(xq_ref, xs_ref, wq_ref, ws_ref, b_ref, res_ref,
@@ -174,7 +196,8 @@ def int8_matmul_gelu_quant(xq, xs, wq, ws, bias, interpret: bool = False,
     O = wq.shape[1]
     bb = _pick_bb(B, N * (K + 6 * O))  # int8 in + f32 acc + int8/f32 out
     return pl.pallas_call(
-        functools.partial(_gelu_quant_kernel, bb=bb, approx=approx_gelu),
+        functools.partial(_gelu_quant_kernel, bb=bb, approx=approx_gelu,
+                          bf16_epi=_epilogue_bf16()),
         out_shape=(
             jax.ShapeDtypeStruct((B, N, O), jnp.int8),
             jax.ShapeDtypeStruct((B, N, 1), jnp.float32),
