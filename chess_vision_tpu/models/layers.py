@@ -10,6 +10,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 # timm-style truncated-normal init used by ViT/ConvNeXt families.
 trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02)
@@ -78,6 +79,11 @@ class Attention(nn.Module):
         qkv = nn.Dense(3 * D, dtype=self.dtype,
                        kernel_init=trunc_normal_init, name="qkv")(x)
         out = fused_qkv_attention(qkv, self.num_heads)
+        # Named for the selective remat policy (vit_backbone.py remat=
+        # "attn_out"): saving this one (B, N, D) bf16 tensor per block lets
+        # the backward pass skip recomputing the attention forward chain
+        # (qkv dense + Pallas kernel) while everything else still remats.
+        out = checkpoint_name(out, "vit_attn_out")
         out = nn.Dense(D, dtype=self.dtype,
                        kernel_init=trunc_normal_init, name="proj")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)

@@ -29,11 +29,16 @@ class ViTBackbone(nn.Module):
     dropout: float = 0.0
     drop_path_rate: float = 0.0
     norm_eps: float = 1e-6
-    # Rematerialize each block in the backward pass (jax.checkpoint): only
-    # block inputs are saved as residuals, so training fits bigger batches —
-    # the standard TPU trade of FLOPs for HBM. Without it, batch 256 at
-    # 256px OOMs on v5e-16GB (per-block f32 attention scores in the VJP).
-    remat: bool = True
+    # Rematerialize blocks in the backward pass (jax.checkpoint): only block
+    # inputs are saved as residuals, so training fits bigger batches — the
+    # standard TPU trade of FLOPs for HBM. Without it, batch 256 at 256px
+    # OOMs on v5e-16GB (per-block f32 attention scores in the VJP).
+    # Values: True/"full" (save block inputs only), "attn_out" (additionally
+    # save each block's attention output — the bwd then skips recomputing
+    # the qkv dense + attention kernel forward at +(B, N, D) bf16 per block,
+    # ~100 MB at B=128; the selective policy of VERDICT r3 #2), False (no
+    # remat). Config key: model.remat.
+    remat: bool | str = True
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -81,7 +86,14 @@ class ViTBackbone(nn.Module):
             # hoists every block's recomputation to the front of the backward
             # pass and all 12 blocks' temporaries coexist — observed to OOM
             # exactly like no-remat. False is only safe under lax.scan.
-            block_cls = nn.remat(TransformerBlock, static_argnums=(2,))
+            import jax as _jax
+
+            policy = None
+            if self.remat == "attn_out":
+                policy = _jax.checkpoint_policies.save_only_these_names(
+                    "vit_attn_out")
+            block_cls = nn.remat(TransformerBlock, static_argnums=(2,),
+                                 policy=policy)
         for i in range(self.depth):
             dp = self.drop_path_rate * i / max(self.depth - 1, 1)
             x = block_cls(

@@ -490,6 +490,8 @@ def bench_train_bisect():
     measure("noaug+nodrop+xla_attn", aug=False, dropout=0.0, xla_attn=True)
     measure("eval fwd (floor)", aug=False, dropout=0.0, fwd_only=True)
     measure("noaug+noremat", aug=False, remat=False)
+    measure("noaug+remat=attn_out", aug=False, remat="attn_out")
+    measure("base+remat=attn_out", remat="attn_out")
 
 
 if __name__ == "__main__":

@@ -214,6 +214,43 @@ def main() -> None:
                  [py, "experiments/microbench.py", "train", "128", "8"],
                  timeout_s=1200)
 
+    # -- 4b. round-4 corpus ViT retrain (VERDICT r3 #3/#6: spline-procedural
+    # styles + geometry jitter + human-policy self-play corpus) ------------
+    if enabled("vit_r4"):
+        train_with_retries(
+            "train_vit_r4",
+            [py, "train.py", "--config", "configs/vit_tpu.yaml", "--set",
+             "model.pretrained=false", "data.transport=ycbcr420",
+             "data.num_workers=8", "data.max_samples=120000",
+             "data.ood_val_dir=data/test_random",
+             "data.device_cache=true", "data.device_cache_budget_gb=12",
+             "data.device_cache_chunk=16",
+             "training.epochs=10", "training.batch_size=128",
+             "training.lr=0.0002",
+             "checkpointing.save_dir=/root/ckpt_vit_r4",
+             "logging.tensorboard_dir=/root/runs_vit_r4"],
+            ckpt_dir="/root/ckpt_vit_r4",
+            timeout_s=7 * 3600, stall_s=2400, fresh_first=True)
+    if enabled("evals_r4") and os.path.exists("/root/ckpt_vit_r4/best.ckpt"):
+        for tag, tdir, cap in (
+            ("geo", "data/test_geo", None),
+            ("lathe", "data/test_lathe", None),          # cross-grammar OOD
+            ("spline", "data/test_spline_holdout", None),  # within-grammar
+            ("random", "data/test_random", "2048"),
+            ("test", "data/test", "2048"),
+        ):
+            cmd = [py, "evaluate.py",
+                   "--checkpoint", "/root/ckpt_vit_r4/best.ckpt",
+                   "--test-dir", tdir, "--batch-size", "64"]
+            if cap:
+                cmd += ["--max-samples", cap]
+            run_step(f"eval_vit_r4_{tag}", cmd, timeout_s=3600, stall_s=900)
+        run_step("int8_eval_vit_r4", [
+            py, "experiments/int8_eval.py",
+            "--checkpoint", "/root/ckpt_vit_r4/best.ckpt",
+            "--test-dir", "data/test", "--max-samples", "512",
+        ], timeout_s=1800)
+
     # -- 4. 150k-corpus ViT retrain (VERDICT r2 #8) ------------------------
     if enabled("vit150"):
         train_with_retries(
