@@ -337,12 +337,68 @@ def _head_av(p, v, sl, pv_int8):
     return o32.astype(jnp.float32) * ps * vs
 
 
-def _attn_quant_kernel(q_ref, k_ref, v_ref, oq_ref, os_ref, scratch,
-                       *, num_heads, head_dim, scale, qk_int8, pv_int8,
+def _attn_quant_kernel(q_ref, k_ref, v_ref, oq_ref, os_ref, scratch, *rest,
+                       num_heads, head_dim, scale, qk_int8, pv_int8,
                        shift_mode, fixed_shift=_FIXED_SHIFT):
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
+    s_all = rest[0] if rest else None  # wide-exp score scratch (fixed mode)
+    # Several images per grid cell (ab, leading block dim): at B=512 the
+    # one-image grid is 512 cells x ~5us of work each, so fixed per-cell
+    # cost (grid transition + DMA wait) is a measurable fraction; blocking
+    # amortizes it without changing any per-image math.
+    for j in range(q_ref.shape[0]):
+        _attn_quant_image(q_ref, k_ref, v_ref, oq_ref, os_ref, scratch,
+                          s_all, j,
+                          num_heads=num_heads, head_dim=head_dim, scale=scale,
+                          qk_int8=qk_int8, pv_int8=pv_int8,
+                          shift_mode=shift_mode, fixed_shift=fixed_shift)
+
+
+def _wide_exp_attention(q, k, v, scratch, s_all, num_heads, head_dim, nm,
+                        shift):
+    """Calibrated-shift fast path: all head score tiles -> ONE wide exp pass.
+
+    The per-head structure runs 12 narrow exp passes over (N, 256) tiles;
+    Mosaic's elementwise throughput on narrow tiles measured ~4x below its
+    wide-pass rate (same effect as the r4 per-head-amax negative result, in
+    reverse). With a per-layer CALIBRATED scalar shift the exp input needs no
+    per-row/per-head work at all, so the score tiles for every head are
+    written side by side into one (N, H*nm) f32 scratch and exponentiated in
+    a single wide pass at the fc1-epilogue VPU rate. PV dots + extra-key FMAs
+    then read bf16 column slices. Math identical to _head_pv_split with a
+    scalar shift."""
+    n = q.shape[0]
+    for i in range(num_heads):
+        sl = slice(i * head_dim, (i + 1) * head_dim)
+        s_all[:, i * nm:(i + 1) * nm] = jax.lax.dot_general(
+            q[:, sl], k[:nm, sl],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    p_all = jnp.exp(s_all[...] - shift).astype(v.dtype)   # ONE wide pass
+    extra = _extra_key_scores(q, k, nm, num_heads)        # (N, H) f32 each
+    for i in range(num_heads):
+        sl = slice(i * head_dim, (i + 1) * head_dim)
+        v_ext = jnp.concatenate(
+            [v[:nm, sl], jnp.ones((nm, 1), v.dtype)], axis=1
+        )
+        o_ext = jax.lax.dot(p_all[:, i * nm:(i + 1) * nm], v_ext,
+                            preferred_element_type=jnp.float32)
+        for j, e in enumerate(extra):
+            pe = jnp.exp(e[:, i:i + 1] - shift)           # (N, 1) f32
+            row = jnp.concatenate(
+                [v[nm + j:nm + j + 1, sl], jnp.ones((1, 1), v.dtype)], axis=1
+            ).astype(jnp.float32)
+            o_ext = o_ext + pe * row
+        scratch[:, sl] = o_ext[:, :head_dim] / jnp.maximum(
+            o_ext[:, head_dim:], 1e-30)
+
+
+def _attn_quant_image(q_ref, k_ref, v_ref, oq_ref, os_ref, scratch, s_all, j,
+                      *, num_heads, head_dim, scale, qk_int8, pv_int8,
+                      shift_mode, fixed_shift=_FIXED_SHIFT):
+    q = q_ref[j]
+    k = k_ref[j]
+    v = v_ref[j]
     n = q.shape[0]
     legacy = qk_int8 or pv_int8  # experimental int8-score modes: full-width
     fold = not legacy and _pow2(scale)
@@ -355,8 +411,13 @@ def _attn_quant_kernel(q_ref, k_ref, v_ref, oq_ref, os_ref, scratch,
         if shift_mode == "bound" and fold else None
     nm = (n // _LANES) * _LANES
     split = fold and nm >= _LANES and 0 < n - nm <= 2
-    extra = _extra_key_scores(q, k, nm, num_heads) if split else None
-    for i in range(num_heads):
+    wide = shift_mode == "fixed" and split and s_all is not None
+    if wide:
+        _wide_exp_attention(q, k, v, scratch, s_all, num_heads, head_dim,
+                            nm, fixed_shift)
+    extra = _extra_key_scores(q, k, nm, num_heads) if split and not wide \
+        else None
+    for i in range(0 if wide else num_heads):
         sl = slice(i * head_dim, (i + 1) * head_dim)
         if legacy:
             s = _head_scores(q, k, sl, scale, qk_int8)
@@ -408,9 +469,9 @@ def _attn_quant_kernel(q_ref, k_ref, v_ref, oq_ref, os_ref, scratch,
     # ms/batch at B=512 — r4 profile).
     o = scratch[...].astype(jnp.float32)
     amax = jnp.maximum(jnp.max(jnp.abs(o), axis=-1, keepdims=True), 1e-8)
-    oq_ref[0] = jnp.clip(jnp.round(o * (127.0 / amax)), -127, 127
+    oq_ref[j] = jnp.clip(jnp.round(o * (127.0 / amax)), -127, 127
                          ).astype(jnp.int8)
-    os_ref[0] = amax * (1.0 / 127.0)
+    os_ref[j] = amax * (1.0 / 127.0)
 
 
 def _attn_int8_mode() -> tuple[bool, bool]:
@@ -451,8 +512,12 @@ def fused_qkv_attention_quant(qkv: jnp.ndarray, num_heads: int,
                       ).astype(jnp.int8)
         return oq, amax * (1.0 / 127.0)
     scale = 1.0 / math.sqrt(head_dim)
+    # images per grid cell: amortize per-cell overhead within a VMEM budget
+    # (~3 x N x D inputs + int8/f32 outputs + score tiles, ~2.6MB/image).
+    ab = next((a for a in (4, 2, 1) if B % a == 0 and a * N * D <= 2**20),
+              1)
     spec = lambda part: pl.BlockSpec(  # noqa: E731
-        (1, N, D),
+        (ab, N, D),
         lambda b, part=part: (b, 0, part),
         memory_space=pltpu.VMEM,
     )
@@ -460,6 +525,14 @@ def fused_qkv_attention_quant(qkv: jnp.ndarray, num_heads: int,
         mode, fixed = "fixed", float(softmax_shift)
     else:
         mode, fixed = _softmax_shift_mode(), _FIXED_SHIFT
+    # calibrated fixed-shift path: one (N, H*nm) f32 scratch holds every
+    # head's score tile so the softmax exp runs as ONE wide VPU pass
+    nm = (N // _LANES) * _LANES
+    wide = (mode == "fixed" and _pow2(scale) and not (qk_int8 or pv_int8)
+            and nm >= _LANES and 0 < N - nm <= 2)
+    scratch_shapes = [pltpu.VMEM((N, D), jnp.float32)]
+    if wide:
+        scratch_shapes.append(pltpu.VMEM((N, num_heads * nm), jnp.float32))
     return pl.pallas_call(
         functools.partial(_attn_quant_kernel, num_heads=num_heads,
                           head_dim=head_dim, scale=scale, qk_int8=qk_int8,
@@ -469,15 +542,15 @@ def fused_qkv_attention_quant(qkv: jnp.ndarray, num_heads: int,
             jax.ShapeDtypeStruct((B, N, D), jnp.int8),
             jax.ShapeDtypeStruct((B, N, 1), jnp.float32),
         ),
-        grid=(B,),
+        grid=(B // ab,),
         in_specs=[spec(0), spec(1), spec(2)],
         out_specs=(
-            pl.BlockSpec((1, N, D), lambda b: (b, 0, 0),
+            pl.BlockSpec((ab, N, D), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, 1), lambda b: (b, 0, 0),
+            pl.BlockSpec((ab, N, 1), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[pltpu.VMEM((N, D), jnp.float32)],
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
         ),

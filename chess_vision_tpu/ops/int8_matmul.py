@@ -115,11 +115,35 @@ def _epilogue_bf16() -> bool:
     return os.environ.get("CHESS_VISION_EPILOGUE", "f32") == "bf16"
 
 
+def _int8_dot(xq_i, w):
+    """(N, K) int8 x (K, O) int8 -> (N, O) int32: the pure-MXU leg."""
+    return jax.lax.dot_general(
+        xq_i, w,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def _pipelined(bb, dot, epilogue):
+    """Software-pipeline the per-image loop: issue the MXU dot for image i+1
+    BEFORE the VPU epilogue of image i, so the scheduler can overlap matrix
+    and vector work instead of serializing dot -> epilogue -> dot. The per-op
+    profile (r4) put the fused kernels at 226-299 T/s-eff vs 374 for a bare
+    XLA int8 matmul at the same shapes — the gap is epilogue serialization,
+    not the matmul itself. Costs one extra live int32 accumulator tile."""
+    acc = dot(0)
+    for i in range(bb):
+        nxt = dot(i + 1) if i + 1 < bb else None
+        epilogue(i, acc)
+        acc = nxt
+
+
 def _gelu_quant_kernel(xq_ref, xs_ref, wq_ref, ws_ref, b_ref,
                        yq_ref, ys_ref, *, bb, approx, bf16_epi=False):
     w = wq_ref[...]
-    for i in range(bb):
-        y = _matmul_f32(xq_ref[i], xs_ref[i], w, ws_ref[0], b_ref[0])
+
+    def epilogue(i, acc):
+        y = acc.astype(jnp.float32) * xs_ref[i] * ws_ref[0] + b_ref[0]
         if bf16_epi:
             g = _gelu(y.astype(jnp.bfloat16), approx)
             amax = jnp.maximum(
@@ -132,12 +156,15 @@ def _gelu_quant_kernel(xq_ref, xs_ref, wq_ref, ws_ref, b_ref,
         else:
             yq_ref[i], ys_ref[i] = _rowquant(_gelu(y, approx))
 
+    _pipelined(bb, lambda i: _int8_dot(xq_ref[i], w), epilogue)
+
 
 def _res_ln_quant_kernel(xq_ref, xs_ref, wq_ref, ws_ref, b_ref, res_ref,
                          g_ref, b2_ref, xn_ref, yq_ref, ys_ref, *, bb, eps):
     w = wq_ref[...]
-    for i in range(bb):
-        y = _matmul_f32(xq_ref[i], xs_ref[i], w, ws_ref[0], b_ref[0])
+
+    def epilogue(i, acc):
+        y = acc.astype(jnp.float32) * xs_ref[i] * ws_ref[0] + b_ref[0]
         xn = res_ref[i].astype(jnp.float32) + y
         xn_b = xn.astype(xn_ref.dtype)
         xn_ref[i] = xn_b
@@ -153,13 +180,18 @@ def _res_ln_quant_kernel(xq_ref, xs_ref, wq_ref, ws_ref, b_ref, res_ref,
         h = cen * jax.lax.rsqrt(var + eps) * g_ref[0] + b2_ref[0]
         yq_ref[i], ys_ref[i] = _rowquant(h)
 
+    _pipelined(bb, lambda i: _int8_dot(xq_ref[i], w), epilogue)
+
 
 def _res_kernel(xq_ref, xs_ref, wq_ref, ws_ref, b_ref, res_ref,
                 xn_ref, *, bb):
     w = wq_ref[...]
-    for i in range(bb):
-        y = _matmul_f32(xq_ref[i], xs_ref[i], w, ws_ref[0], b_ref[0])
+
+    def epilogue(i, acc):
+        y = acc.astype(jnp.float32) * xs_ref[i] * ws_ref[0] + b_ref[0]
         xn_ref[i] = (res_ref[i].astype(jnp.float32) + y).astype(xn_ref.dtype)
+
+    _pipelined(bb, lambda i: _int8_dot(xq_ref[i], w), epilogue)
 
 
 def _row2(v, O):

@@ -39,6 +39,10 @@ def main():
                         help="int8 only: calibrate per-layer softmax shifts "
                              "on the first N inputs (0 = adaptive bound "
                              "shifts, no calibration)")
+    parser.add_argument("--dp", action="store_true",
+                        help="shard the batch over ALL visible devices "
+                             "(data-parallel mesh serving; params "
+                             "replicated, XLA GSPMD partitions the program)")
     parser.add_argument("--out", default=None)
     args = parser.parse_args()
 
@@ -53,10 +57,21 @@ def main():
     if not paths:
         sys.exit(f"no images found at {args.images}")
 
+    mesh = None
+    if args.dp:
+        import jax
+
+        from chess_vision_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        print(f"Data-parallel serving over {mesh.devices.size} device(s)",
+              file=sys.stderr)
+
     predictor = Predictor(
         args.checkpoint, batch_size=args.batch_size,
         decode_workers=args.decode_workers, mode=args.mode, quant=args.quant,
         calib_paths=paths[:args.calib] if args.quant == "int8" else None,
+        mesh=mesh,
     )
     t0 = time.time()
     fens = predictor.predict_files(paths)
