@@ -35,6 +35,10 @@ def build_model(cfg: dict) -> nn.Module:
             drop_path_rate=model_cfg.get("drop_path_rate", 0.0),
             remat=model_cfg.get("remat", True),
             dtype=dtype,
+            embed_dim=model_cfg.get("embed_dim", 768),
+            depth=model_cfg.get("depth", 12),
+            num_heads=model_cfg.get("num_heads", 12),
+            mlp_ratio=model_cfg.get("mlp_ratio", 4.0),
         )
     if arch == "cnn":
         return ChessCNN(

@@ -23,11 +23,22 @@ class ChessViT(nn.Module):
     drop_path_rate: float = 0.0
     remat: bool = True
     dtype: jnp.dtype = jnp.float32
+    # Backbone size (default = ViT-B/16, the reference flagship). Overridable
+    # via config (model.embed_dim/depth/num_heads/mlp_ratio) for fast CLI
+    # smoke tests and small-variant experiments.
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         backbone = ViTBackbone(
             img_size=self.img_size,
+            embed_dim=self.embed_dim,
+            depth=self.depth,
+            num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio,
             drop_path_rate=self.drop_path_rate,
             remat=self.remat,
             dtype=self.dtype,
