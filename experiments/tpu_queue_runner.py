@@ -213,6 +213,11 @@ def main() -> None:
         run_step("microbench_train_128",
                  [py, "experiments/microbench.py", "train", "128", "8"],
                  timeout_s=1200)
+        # full variant sweep (aug/dropout/remat=attn_out/noremat/xla-attn):
+        # the VERDICT r3 #2 evidence — which recompute the bwd pass pays for
+        run_step("microbench_train_bisect_256",
+                 [py, "experiments/microbench.py", "train_bisect", "256"],
+                 timeout_s=2400)
 
     # -- 4b. round-4 corpus ViT retrain (VERDICT r3 #3/#6: spline-procedural
     # styles + geometry jitter + human-policy self-play corpus) ------------
