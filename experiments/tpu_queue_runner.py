@@ -186,6 +186,11 @@ def main() -> None:
     # -- 1. driver-style bench (headline evidence) ------------------------
     if enabled("bench"):
         run_step("bench_default", [py, "bench.py"], timeout_s=900)
+        # host-pipeline proof, device leg (VERDICT r3 #4): serving dispatch
+        # loop with H2D mocked as instant + concurrent decode pool
+        run_step("hostpipe_replay",
+                 [py, "experiments/host_pipeline.py", "replay", "512", "20"],
+                 timeout_s=1200)
 
     # -- 2. attention int8 QK / PV benches + accuracy data ----------------
     if enabled("attn"):
