@@ -274,7 +274,10 @@ def main():
         return
     batch = arg("--batch", 512, int)
     seconds = arg("--seconds", 12.0, float)
-    budget = arg("--budget", float(os.environ.get("CVT_BENCH_BUDGET", 240)),
+    # 480s default: the 240s budget expired twice purely on upload_pack when
+    # tunnel H2D dipped to ~1 MB/s (the pack is ~90 MB int8); a healthy run
+    # finishes in <90s warm, so the extra headroom only matters when stalled.
+    budget = arg("--budget", float(os.environ.get("CVT_BENCH_BUDGET", 480)),
                  float)
     mode = "rgb" if "--rgb" in sys.argv else "ycbcr420"
     use_int8 = "--no-int8" not in sys.argv

@@ -260,6 +260,12 @@ def main() -> None:
             "--checkpoint", "/root/ckpt_vit_r4/best.ckpt",
             "--test-dir", "data/test", "--max-samples", "512",
         ], timeout_s=1800)
+        # tunnel H2D bandwidth swings ~700x between windows; re-capture the
+        # headline + replay in whatever window the long retrain ends in
+        run_step("bench_retry", [py, "bench.py"], timeout_s=900)
+        run_step("hostpipe_replay_retry",
+                 [py, "experiments/host_pipeline.py", "replay", "512", "20"],
+                 timeout_s=1200)
 
     # -- 4. 150k-corpus ViT retrain (VERDICT r2 #8) ------------------------
     if enabled("vit150"):
