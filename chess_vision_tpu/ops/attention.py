@@ -563,6 +563,92 @@ def fused_qkv_attention_quant(qkv: jnp.ndarray, num_heads: int,
     )(qkv, qkv, qkv)
 
 
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dqkv_ref, *, num_heads,
+                     head_dim, scale):
+    """Fused attention backward, one image per grid cell (flash-style: the
+    (N, N) score/probability tiles and their VJP never touch HBM).
+
+    Recomputes the max-shifted softmax from the saved packed qkv, then per
+    head: dV = P^T dO, dP = dO V^T, dS = P * (dP - rowsum(dP * P)), and
+    dQ = scale * dS K / dK = scale * dS^T Q, written straight into the
+    packed (B, N, 3*H*Dh) dqkv layout — the train profile showed the plain
+    XLA VJP spending ~180 ms/step at B=256 on f32 (B, H, N, N) softmax-VJP
+    fusions, reductions, and layout copies around exactly this math."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0]
+    n = q.shape[0]
+    D = num_heads * head_dim
+    f32 = jnp.float32
+    for i in range(num_heads):
+        sl = slice(i * head_dim, (i + 1) * head_dim)
+        qh, kh, vh, gh = q[:, sl], k[:, sl], v[:, sl], g[:, sl]
+        s = jax.lax.dot_general(
+            qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        ) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)                                   # (n, n) f32
+        pn = p / jnp.sum(p, axis=-1, keepdims=True)          # normalized
+        pb = pn.astype(v.dtype)
+        dv = jax.lax.dot_general(                            # P^T @ dO
+            pb, gh, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        dp = jax.lax.dot_general(                            # dO @ V^T
+            gh, vh, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        r = jnp.sum(dp * pn, axis=-1, keepdims=True)
+        ds = (pn * (dp - r) * scale).astype(q.dtype)         # scale folded
+        dq = jax.lax.dot(ds, kh, preferred_element_type=f32)
+        dk = jax.lax.dot_general(                            # dS^T @ Q
+            ds, qh, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        dqkv_ref[0, :, i * head_dim:(i + 1) * head_dim] = dq.astype(
+            dqkv_ref.dtype)
+        dqkv_ref[0, :, D + i * head_dim:D + (i + 1) * head_dim] = dk.astype(
+            dqkv_ref.dtype)
+        dqkv_ref[0, :, 2 * D + i * head_dim:2 * D + (i + 1) * head_dim] = \
+            dv.astype(dqkv_ref.dtype)
+
+
+def _kernel_attention_bwd(qkv: jnp.ndarray, g: jnp.ndarray, num_heads: int,
+                          interpret: bool = False) -> jnp.ndarray:
+    """(B, N, 3D) saved qkv + (B, N, D) cotangent -> (B, N, 3D) dqkv."""
+    B, N, C3 = qkv.shape
+    D = C3 // 3
+    head_dim = D // num_heads
+    scale = 1.0 / math.sqrt(head_dim)
+    spec = lambda part: pl.BlockSpec(  # noqa: E731
+        (1, N, D),
+        lambda b, part=part: (b, 0, part),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, num_heads=num_heads,
+                          head_dim=head_dim, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((B, N, C3), qkv.dtype),
+        grid=(B,),
+        in_specs=[spec(0), spec(1), spec(2),
+                  pl.BlockSpec((1, N, D), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, N, C3), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 5 * B * num_heads * N * N * head_dim,
+            bytes_accessed=2 * qkv.size * qkv.dtype.itemsize,
+            transcendentals=B * num_heads * N * N,
+        ),
+        interpret=interpret,
+    )(qkv, qkv, qkv, g)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def _tpu_attention(qkv, num_heads):
     return _kernel_attention(qkv, num_heads)
@@ -574,8 +660,12 @@ def _tpu_attention_fwd(qkv, num_heads):
 
 def _tpu_attention_bwd(num_heads, res, g):
     (qkv,) = res
-    _, vjp = jax.vjp(lambda t: _reference_attention(t, num_heads), qkv)
-    return (vjp(g)[0],)
+    import os
+
+    if os.environ.get("CHESS_VISION_NO_PALLAS_ATTN_BWD") == "1":
+        _, vjp = jax.vjp(lambda t: _reference_attention(t, num_heads), qkv)
+        return (vjp(g)[0],)
+    return (_kernel_attention_bwd(qkv, g, num_heads),)
 
 
 _tpu_attention.defvjp(_tpu_attention_fwd, _tpu_attention_bwd)

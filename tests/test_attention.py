@@ -12,6 +12,7 @@ import pytest
 
 from chess_vision_tpu.ops.attention import (
     _kernel_attention,
+    _kernel_attention_bwd,
     _reference_attention,
     fused_qkv_attention,
 )
@@ -27,6 +28,42 @@ def test_attention_kernel_matches_reference(rng, B, N, H, Dh):
     ref = np.asarray(_reference_attention(qkv, H), np.float32)
     ker = np.asarray(_kernel_attention(qkv, H, interpret=True), np.float32)
     np.testing.assert_allclose(ker, ref, atol=2e-2)
+
+
+@pytest.mark.parametrize("B,N,H,Dh", [(2, 257, 12, 64), (3, 17, 1, 32),
+                                      (1, 64, 4, 16)])
+def test_attention_bwd_kernel_matches_xla_vjp(rng, B, N, H, Dh):
+    """The fused backward (flash-style, scores in VMEM, packed dqkv) must
+    match jax.vjp over the reference math it replaces."""
+    import jax
+
+    qkv = jnp.asarray(rng.normal(size=(B, N, 3 * H * Dh)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(B, N, H * Dh)), jnp.float32)
+    _, vjp = jax.vjp(lambda t: _reference_attention(t, H), qkv)
+    ref = np.asarray(vjp(g)[0], np.float32)
+    ker = np.asarray(_kernel_attention_bwd(qkv, g, H, interpret=True),
+                     np.float32)
+    np.testing.assert_allclose(ker, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_attention_bwd_kernel_bf16_close(rng):
+    """bf16 inputs (the training dtype): kernel vs f32-upcast analytic VJP."""
+    import jax
+
+    B, N, H, Dh = (2, 257, 12, 64)
+    qkv = jnp.asarray(
+        rng.normal(size=(B, N, 3 * H * Dh)).astype(np.float32), jnp.bfloat16
+    )
+    g = jnp.asarray(
+        rng.normal(size=(B, N, H * Dh)).astype(np.float32), jnp.bfloat16
+    )
+    _, vjp = jax.vjp(
+        lambda t: _reference_attention(t.astype(jnp.float32), H),
+        qkv.astype(jnp.float32))
+    ref = np.asarray(vjp(g.astype(jnp.float32))[0], np.float32)
+    ker = np.asarray(_kernel_attention_bwd(qkv, g, H, interpret=True),
+                     np.float32)
+    np.testing.assert_allclose(ker, ref, atol=5e-2)
 
 
 def test_fused_qkv_attention_dispatches_to_reference_on_cpu(rng):
