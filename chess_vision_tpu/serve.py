@@ -9,6 +9,7 @@ compute, and FEN assembly all overlap via a bounded in-flight window.
 from __future__ import annotations
 
 import queue
+import sys
 import threading
 from concurrent.futures import ThreadPoolExecutor
 
@@ -171,8 +172,22 @@ class Predictor:
         self.inflight = inflight
         # Multi-chip data-parallel serving: shard the batch axis over the
         # mesh; params stay replicated and XLA partitions the program.
+        # NOTE: the int8 path's Pallas custom calls carry no GSPMD
+        # partitioning rules — on a real multi-chip TPU mesh GSPMD would
+        # gather the batch around them instead of running them sharded.
+        # Multi-chip serving is validated with the XLA (bf16) path; int8
+        # multi-chip needs shard_map plumbing (single-chip int8 is the
+        # measured headline configuration).
         self.mesh = mesh
         if mesh is not None:
+            if quant == "int8" and jax.default_backend() == "tpu" \
+                    and mesh.devices.size > 1:
+                print(
+                    "WARNING: int8 Pallas kernels are not GSPMD-partitionable;"
+                    " multi-chip serving will gather the batch around them."
+                    " Use --quant bf16 for sharded multi-chip serving.",
+                    file=sys.stderr,
+                )
             from chess_vision_tpu.parallel.mesh import batch_sharding, replicated
 
             if batch_size % mesh.devices.size:

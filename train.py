@@ -138,6 +138,14 @@ def main():
     else:
         mesh = make_mesh()
     n_dev = mesh.devices.size
+    if n_dev > 1:
+        # Pallas custom calls carry no GSPMD partitioning rules: on a real
+        # multi-chip mesh the batch-parallel attention kernel would be
+        # treated as replicated (full-batch gather per chip) rather than
+        # sharded. The XLA attention math partitions cleanly over any axis.
+        # (CPU test meshes never reach the kernel — the dispatch in
+        # ops/attention.py already falls back off-TPU.)
+        os.environ.setdefault("CHESS_VISION_NO_PALLAS_ATTN", "1")
     n_data = mesh.shape.get("data", n_dev) if tp > 1 else n_dev
     print(f"Devices: {n_dev} x {jax.devices()[0].device_kind}")
 
