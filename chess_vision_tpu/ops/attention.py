@@ -514,8 +514,12 @@ def fused_qkv_attention_quant(qkv: jnp.ndarray, num_heads: int,
     scale = 1.0 / math.sqrt(head_dim)
     # images per grid cell: amortize per-cell overhead within a VMEM budget
     # (~3 x N x D inputs + int8/f32 outputs + score tiles, ~2.6MB/image).
-    ab = next((a for a in (4, 2, 1) if B % a == 0 and a * N * D <= 2**20),
-              1)
+    # CHESS_VISION_ATTN_AB=1 pins one image/cell (A/B knob).
+    import os as _os
+
+    ab_cap = int(_os.environ.get("CHESS_VISION_ATTN_AB", "4"))
+    ab = next((a for a in (4, 2, 1)
+               if a <= ab_cap and B % a == 0 and a * N * D <= 2**20), 1)
     spec = lambda part: pl.BlockSpec(  # noqa: E731
         (ab, N, D),
         lambda b, part=part: (b, 0, part),
@@ -529,7 +533,8 @@ def fused_qkv_attention_quant(qkv: jnp.ndarray, num_heads: int,
     # head's score tile so the softmax exp runs as ONE wide VPU pass
     nm = (N // _LANES) * _LANES
     wide = (mode == "fixed" and _pow2(scale) and not (qk_int8 or pv_int8)
-            and nm >= _LANES and 0 < N - nm <= 2)
+            and nm >= _LANES and 0 < N - nm <= 2
+            and _os.environ.get("CHESS_VISION_ATTN_WIDE", "1") != "0")
     scratch_shapes = [pltpu.VMEM((N, D), jnp.float32)]
     if wide:
         scratch_shapes.append(pltpu.VMEM((N, num_heads * nm), jnp.float32))
