@@ -467,9 +467,34 @@ def chessvit_int8_apply(pack: dict, images, attn_shifts=None) -> dict:
 
         # default: per-image blocked grid — measured 2937 vs 2816 boards/s
         # for the flat M-blocked relayout (the +12% padded rows cost more
-        # than the larger row tiles buy; see EXPERIMENTS.md round-3 profile)
+        # than the larger row tiles buy; see EXPERIMENTS.md round-3 profile).
+        # "fused" runs each block as ONE Pallas call (ops/fused_block.py).
         layout = os.environ.get("CHESS_VISION_INT8_LAYOUT", "block")
-        if layout == "flat":
+        if layout == "fused":
+            from chess_vision_tpu.ops.attention import _LANES, _pow2
+            from chess_vision_tpu.ops.fused_block import fused_vit_block
+
+            nm = (N // _LANES) * _LANES
+            ok = (_pow2(1.0 / math.sqrt(D // 12))
+                  and nm >= _LANES and 0 < N - nm <= 2
+                  and os.environ.get("CHESS_VISION_ATTN_QK", "bf16") == "bf16"
+                  and os.environ.get("CHESS_VISION_ATTN_SOFTMAX", "bound")
+                  in ("bound", "fixed"))
+            if not ok:
+                layout = "block"
+        if layout == "fused":
+            xq, xs = fused_rowquant(x, "ln", blocks[0]["norm1"]["scale"],
+                                    blocks[0]["norm1"]["bias"])
+            shifts = attn_shifts or [None] * len(blocks)
+            gelu = _approx_gelu()
+            for i, q in enumerate(blocks[:-1]):
+                x, xq, xs = fused_vit_block(
+                    xq, xs, x, q, blocks[i + 1]["norm1"], num_heads=12,
+                    softmax_shift=shifts[i], approx_gelu=gelu)
+            # last block on the split kernels (no follow-on LN/quant output)
+            x, _, _ = _block_tpu(x, xq, xs, blocks[-1], None,
+                                 softmax_shift=shifts[-1])
+        elif layout == "flat":
             # Flat M-blocked layout: pad the token axis to the 32-row int8
             # tile so (B, NP, D) <-> (B*NP, D) reshapes are layout-free, then
             # run the whole block stack on (M, D) streams (int8_matmul.py

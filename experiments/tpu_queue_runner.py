@@ -407,6 +407,38 @@ def main() -> None:
                  [py, "experiments/microbench.py", "train", "256", "8"],
                  timeout_s=1800)
 
+    # -- 11. round-4b follow-ups: geo eval retry, fused-block layout A/B,
+    # trainbench with the Pallas attention backward now on by default ------
+    if enabled("r4b"):
+        run_step("eval_vit_r4_geo_retry", [
+            py, "evaluate.py", "--checkpoint", "/root/ckpt_vit_r4/best.ckpt",
+            "--test-dir", "data/test_geo", "--batch-size", "64",
+        ], timeout_s=3600, stall_s=900)
+        # serving layout A/B under calibrated shifts: block (default) vs the
+        # whole-block fused kernel vs the flat M-blocked revisit (VERDICT #1)
+        run_step("bench_fused", [py, "bench.py"], timeout_s=900,
+                 env={"CHESS_VISION_INT8_LAYOUT": "fused"})
+        run_step("bench_flat_calib", [py, "bench.py"], timeout_s=900,
+                 env={"CHESS_VISION_INT8_LAYOUT": "flat"})
+        run_step("bench_block", [py, "bench.py"], timeout_s=900)
+        v_f = bench_value(os.path.join(LOGDIR, "bench_fused.log"))
+        v_fl = bench_value(os.path.join(LOGDIR, "bench_flat_calib.log"))
+        v_b = bench_value(os.path.join(LOGDIR, "bench_block.log"))
+        log(f"layout A/B: fused={v_f} flat={v_fl} block={v_b}")
+        # accuracy gate for the fused path (must match block-layout int8)
+        run_step("int8_eval_fused", [
+            py, "experiments/int8_eval.py",
+            "--checkpoint", "/root/ckpt_vit_r4/best.ckpt",
+            "--test-dir", "data/test", "--max-samples", "512",
+        ], timeout_s=1800, env={"CHESS_VISION_INT8_LAYOUT": "fused"})
+        # train-step rate with the Pallas flash backward (cac5b95) active
+        run_step("microbench_train_256_pallasbwd",
+                 [py, "experiments/microbench.py", "train", "256", "8"],
+                 timeout_s=1800)
+        run_step("microbench_train_bisect_pallasbwd",
+                 [py, "experiments/microbench.py", "train_bisect", "256"],
+                 timeout_s=2400)
+
     record("runner_end", ok=True)
     log("queue complete")
 
