@@ -438,6 +438,41 @@ def main() -> None:
         run_step("microbench_train_bisect_pallasbwd",
                  [py, "experiments/microbench.py", "train_bisect", "256"],
                  timeout_s=2400)
+        # larger batch fills the MXU pipeline deeper; the flash backward
+        # removed the (B, H, N, N) score tensors that made 512 OOM-risky
+        run_step("microbench_train_512_pallasbwd",
+                 [py, "experiments/microbench.py", "train", "512", "8"],
+                 timeout_s=1800)
+
+    # -- 12. full_fen parity run: r3-style fixed pool + human-policy labels
+    # (datagen_parity.yaml must be rendered first — CPU-only, ~30 min) -----
+    if enabled("parity") and os.path.exists("data/train_parity/manifest.csv"):
+        train_with_retries(
+            "train_vit_parity",
+            [py, "train.py", "--config", "configs/vit_tpu.yaml", "--set",
+             "model.pretrained=false", "data.transport=ycbcr420",
+             "data.num_workers=8", "data.max_samples=120000",
+             "data.train_dir=data/train_parity",
+             "data.ood_val_dir=data/test_random",
+             "data.device_cache=true", "data.device_cache_budget_gb=12",
+             "data.device_cache_chunk=16",
+             "training.epochs=10", "training.batch_size=128",
+             "training.lr=0.0002",
+             "checkpointing.save_dir=/root/ckpt_vit_parity",
+             "logging.tensorboard_dir=/root/runs_vit_parity"],
+            ckpt_dir="/root/ckpt_vit_parity",
+            timeout_s=7 * 3600, stall_s=2400, fresh_first=True)
+        if os.path.exists("/root/ckpt_vit_parity/best.ckpt"):
+            run_step("eval_vit_parity_test", [
+                py, "evaluate.py",
+                "--checkpoint", "/root/ckpt_vit_parity/best.ckpt",
+                "--test-dir", "data/test_parity", "--batch-size", "64",
+                "--max-samples", "2048"], timeout_s=3600, stall_s=900)
+            run_step("eval_vit_parity_lathe", [
+                py, "evaluate.py",
+                "--checkpoint", "/root/ckpt_vit_parity/best.ckpt",
+                "--test-dir", "data/test_lathe", "--batch-size", "64",
+            ], timeout_s=3600, stall_s=900)
 
     record("runner_end", ok=True)
     log("queue complete")
