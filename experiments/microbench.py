@@ -332,9 +332,16 @@ def bench_train():
 
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    # optional 4th arg: remat policy for the step (true | false | attn_out).
+    # The flash attention backward (ops/attention.py VJP) freed the score
+    # tensors, so noremat now fits at b=256 — worth measuring as the default
+    # candidate.
+    remat_arg = sys.argv[4] if len(sys.argv) > 4 else "true"
+    remat = {"true": True, "false": False}.get(remat_arg, remat_arg)
     cfg = {
         "model": {"arch": "vit", "input_size": 256,
-                  "head_dropout": 0.1, "drop_path_rate": 0.1},
+                  "head_dropout": 0.1, "drop_path_rate": 0.1,
+                  "remat": remat},
         "training": {
             "mixed_precision": True, "epochs": 10, "batch_size": B,
             "lr": 2e-4, "weight_decay": 0.05, "grad_clip_norm": 1.0,
@@ -492,6 +499,7 @@ def bench_train_bisect():
     measure("noaug+noremat", aug=False, remat=False)
     measure("noaug+remat=attn_out", aug=False, remat="attn_out")
     measure("base+remat=attn_out", remat="attn_out")
+    measure("base+noremat", remat=False)
 
 
 if __name__ == "__main__":

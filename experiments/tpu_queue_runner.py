@@ -444,6 +444,25 @@ def main() -> None:
                  [py, "experiments/microbench.py", "train", "512", "8"],
                  timeout_s=1800)
 
+    # -- 11b. r4c: retry the two infra-failed layout benches (fused stalled
+    # on a 480 s upload wedge; block hit a transient remote-compile 500) ---
+    if enabled("r4c"):
+        run_step("bench_fused_retry", [py, "bench.py"], timeout_s=1200,
+                 env={"CHESS_VISION_INT8_LAYOUT": "fused"})
+        run_step("bench_block_retry", [py, "bench.py"], timeout_s=1200)
+        v_f = bench_value(os.path.join(LOGDIR, "bench_fused_retry.log"))
+        v_b = bench_value(os.path.join(LOGDIR, "bench_block_retry.log"))
+        log(f"layout retry: fused={v_f} block={v_b}")
+        # full train step WITHOUT remat (the flash bwd freed the memory;
+        # bisect showed noaug+noremat 700 img/s — base+noremat projects
+        # ~646 vs the 614 reference target)
+        run_step("microbench_train_256_noremat",
+                 [py, "experiments/microbench.py", "train", "256", "8",
+                  "false"], timeout_s=1800)
+        run_step("microbench_train_512_noremat",
+                 [py, "experiments/microbench.py", "train", "512", "8",
+                  "false"], timeout_s=1800)
+
     # -- 12. full_fen parity run: r3-style fixed pool + human-policy labels
     # (datagen_parity.yaml must be rendered first — CPU-only, ~30 min) -----
     if enabled("parity") and os.path.exists("data/train_parity/manifest.csv"):
