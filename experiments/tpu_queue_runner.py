@@ -463,6 +463,26 @@ def main() -> None:
                  [py, "experiments/microbench.py", "train", "512", "8",
                   "false"], timeout_s=1800)
 
+    # -- 11c. r4d: the fused-layout bench has NEVER completed (two upload
+    # wedges + one transient remote-compile 500; the identical kernel shape
+    # compiled and passed accuracy in int8_eval_fused). Keep retrying with a
+    # raised budget until one attempt returns a number, then refresh block
+    # for the same tunnel window so the A/B is apples-to-apples. ------------
+    if enabled("r4d"):
+        v_f = None
+        for attempt in range(3):
+            name = f"bench_fused_r4d_a{attempt}"
+            run_step(name, [py, "bench.py"], timeout_s=1800,
+                     env={"CHESS_VISION_INT8_LAYOUT": "fused",
+                          "CVT_BENCH_BUDGET": "1500"})
+            v_f = bench_value(os.path.join(LOGDIR, name + ".log"))
+            if v_f is not None:
+                break
+        run_step("bench_block_r4d", [py, "bench.py"], timeout_s=1800,
+                 env={"CVT_BENCH_BUDGET": "1500"})
+        v_b = bench_value(os.path.join(LOGDIR, "bench_block_r4d.log"))
+        log(f"r4d layout A/B: fused={v_f} block={v_b}")
+
     # -- 12. full_fen parity run: r3-style fixed pool + human-policy labels
     # (datagen_parity.yaml must be rendered first — CPU-only, ~30 min) -----
     if enabled("parity") and os.path.exists("data/train_parity/manifest.csv"):
