@@ -9,7 +9,6 @@ compute, and FEN assembly all overlap via a bounded in-flight window.
 from __future__ import annotations
 
 import queue
-import sys
 import threading
 from concurrent.futures import ThreadPoolExecutor
 
@@ -62,7 +61,8 @@ def make_infer_fn(model, mean, std, mode: str = "rgb"):
     return jax.jit(forward)
 
 
-def make_int8_infer_fn(mean, std, mode: str = "rgb", attn_shifts=None):
+def make_int8_infer_fn(mean, std, mode: str = "rgb", attn_shifts=None,
+                       mesh=None):
     """Int8 (W8A8) ChessViT inference program (ops/quant.py) with the same
     signature/outputs as make_infer_fn — the quantized pack rides in the
     `params` slot as a jit ARGUMENT, not a closure capture. Closure-captured
@@ -74,7 +74,14 @@ def make_int8_infer_fn(mean, std, mode: str = "rgb", attn_shifts=None):
     attn_shifts: calibrated per-layer softmax shifts (see
     quant.calibrate_attn_shifts). They select kernel code, so they close
     over the trace STATICALLY — pop them off the pack before device_put
-    rather than shipping them as traced values."""
+    rather than shipping them as traced values.
+
+    mesh: optional jax.sharding.Mesh for multi-chip data-parallel serving.
+    The int8 path's Pallas custom calls carry no GSPMD partitioning rules,
+    so instead of leaving the partitioner to gather the batch around them,
+    the whole forward runs under shard_map over the mesh's first axis: each
+    device executes the full int8 program (Pallas kernels included) on its
+    local batch shard with the pack replicated — pure DP, no collectives."""
     from chess_vision_tpu.ops.preprocess import (
         preprocess_u8,
         ycbcr420_to_normalized,
@@ -100,6 +107,19 @@ def make_int8_infer_fn(mean, std, mode: str = "rgb", attn_shifts=None):
             del batch_stats
             return _head(pack, preprocess_u8(u8, mean, std, jnp.bfloat16))
 
+    if mesh is not None and mesh.devices.size > 1:
+        from jax.sharding import PartitionSpec as P
+
+        shard_map = jax.shard_map
+
+        batch = P(mesh.axis_names[0])
+        n_in = 3 if mode == "ycbcr420" else 1
+        forward = shard_map(
+            forward, mesh=mesh,
+            in_specs=(P(), P()) + (batch,) * n_in,
+            out_specs=(batch, batch, batch),
+            check_vma=False,  # Pallas calls defeat replication inference
+        )
     return jax.jit(forward)
 
 
@@ -161,7 +181,7 @@ class Predictor:
             self.batch_stats = {}
             self.infer = make_int8_infer_fn(
                 data_cfg["mean"], data_cfg["std"], mode=mode,
-                attn_shifts=shifts,
+                attn_shifts=shifts, mesh=mesh,
             )
         else:
             self.infer = make_infer_fn(
@@ -171,23 +191,11 @@ class Predictor:
         self.decode_workers = decode_workers
         self.inflight = inflight
         # Multi-chip data-parallel serving: shard the batch axis over the
-        # mesh; params stay replicated and XLA partitions the program.
-        # NOTE: the int8 path's Pallas custom calls carry no GSPMD
-        # partitioning rules — on a real multi-chip TPU mesh GSPMD would
-        # gather the batch around them instead of running them sharded.
-        # Multi-chip serving is validated with the XLA (bf16) path; int8
-        # multi-chip needs shard_map plumbing (single-chip int8 is the
-        # measured headline configuration).
+        # mesh. The bf16 path is pure GSPMD (params replicated, XLA
+        # partitions the program); the int8 path runs under shard_map so the
+        # Pallas kernels execute per-shard (see make_int8_infer_fn).
         self.mesh = mesh
         if mesh is not None:
-            if quant == "int8" and jax.default_backend() == "tpu" \
-                    and mesh.devices.size > 1:
-                print(
-                    "WARNING: int8 Pallas kernels are not GSPMD-partitionable;"
-                    " multi-chip serving will gather the batch around them."
-                    " Use --quant bf16 for sharded multi-chip serving.",
-                    file=sys.stderr,
-                )
             from chess_vision_tpu.parallel.mesh import batch_sharding, replicated
 
             if batch_size % mesh.devices.size:

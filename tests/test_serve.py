@@ -144,3 +144,21 @@ def test_predictor_multichip_mesh_matches_single(tiny_ckpt, rng):
 
     with pytest.raises(ValueError):
         Predictor(ckpt, batch_size=6, mesh=mesh)
+
+
+def test_predictor_multichip_int8_matches_single(tiny_ckpt, rng):
+    """Int8 serving runs under shard_map on a mesh (the Pallas kernels carry
+    no GSPMD rules); per-shard math is identical, so 8-device DP output must
+    equal the 1-device int8 output exactly."""
+    import jax
+
+    from chess_vision_tpu.parallel.mesh import make_mesh
+    from chess_vision_tpu.serve import Predictor
+
+    ckpt, _ = tiny_ckpt
+    imgs = rng.integers(0, 256, (8, 64, 64, 3)).astype(np.uint8)
+    single = Predictor(ckpt, batch_size=8, quant="int8").predict_array(imgs)
+    mesh = make_mesh(jax.devices())
+    sharded = Predictor(ckpt, batch_size=8, quant="int8",
+                        mesh=mesh).predict_array(imgs)
+    assert single == sharded
