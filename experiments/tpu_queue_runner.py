@@ -463,23 +463,34 @@ def main() -> None:
                  [py, "experiments/microbench.py", "train", "512", "8",
                   "false"], timeout_s=1800)
 
-    # -- 11c. r4d: the fused-layout bench has NEVER completed (two upload
+    # -- 11c. noremat train-step measurements (queued in r4c; never ran —
+    # the VM restarted after the two bench retries wedged) ------------------
+    if enabled("noremat"):
+        run_step("microbench_train_256_noremat",
+                 [py, "experiments/microbench.py", "train", "256", "8",
+                  "false"], timeout_s=1500, stall_s=600)
+        run_step("microbench_train_512_noremat",
+                 [py, "experiments/microbench.py", "train", "512", "8",
+                  "false"], timeout_s=1500, stall_s=600)
+
+    # -- 11d. r4d: the fused-layout bench has NEVER completed (three upload
     # wedges + one transient remote-compile 500; the identical kernel shape
-    # compiled and passed accuracy in int8_eval_fused). Keep retrying with a
-    # raised budget until one attempt returns a number, then refresh block
-    # for the same tunnel window so the A/B is apples-to-apples. ------------
+    # compiled and passed accuracy in int8_eval_fused). Observed wedges never
+    # recover within a single budget (~20 min outages) — short attempts with
+    # fresh processes beat one long wait. Then refresh block in the same
+    # tunnel window so the A/B is apples-to-apples. -------------------------
     if enabled("r4d"):
         v_f = None
         for attempt in range(3):
             name = f"bench_fused_r4d_a{attempt}"
-            run_step(name, [py, "bench.py"], timeout_s=1800,
+            run_step(name, [py, "bench.py"], timeout_s=700, stall_s=700,
                      env={"CHESS_VISION_INT8_LAYOUT": "fused",
-                          "CVT_BENCH_BUDGET": "1500"})
+                          "CVT_BENCH_BUDGET": "600"})
             v_f = bench_value(os.path.join(LOGDIR, name + ".log"))
             if v_f is not None:
                 break
-        run_step("bench_block_r4d", [py, "bench.py"], timeout_s=1800,
-                 env={"CVT_BENCH_BUDGET": "1500"})
+        run_step("bench_block_r4d", [py, "bench.py"], timeout_s=700,
+                 stall_s=700, env={"CVT_BENCH_BUDGET": "600"})
         v_b = bench_value(os.path.join(LOGDIR, "bench_block_r4d.log"))
         log(f"r4d layout A/B: fused={v_f} block={v_b}")
 
