@@ -20,13 +20,20 @@ Two numbers are measured every run:
 Robustness contract (the driver runs this under `timeout` and parses stdout):
 ONE JSON line is ALWAYS printed — on success, on any exception, on SIGTERM/
 SIGINT, and when the internal --budget expires while the backend is wedged.
-The measurement runs on a worker thread; the main thread is a supervisor that
-heartbeats the current stage to stderr and emits whatever has been measured so
-far (partial compute-bound chunks included) the moment anything goes wrong.
+
+Un-null-ability (round-4 lesson: BENCH_r04 was nulled by one transient
+remote-compile HTTP 500): the default mode is a DRIVER that tries a chain of
+(layout, batch) configs, each in its OWN subprocess with its own watchdog, so
+a compile-helper crash or a tunnel wedge on one config cannot erase the run —
+the driver retries transient failures with backoff, falls through the chain
+(fused -> block, 512 -> 256), and emits the best number obtained with
+"degraded": true when any planned config failed. `--single` runs one config
+in-process (the old behavior; what the driver spawns).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "boards/s", "vs_baseline": N/5000,
-   "compute_bound": M, "end_to_end": K, "stage": ..., ["error": ...]}
+   "compute_bound": M, "end_to_end": K, "stage": ...,
+   ["configs": {...}, "degraded": bool, "error": ...]}
 vs_baseline is relative to the 5,000 boards/sec/chip target in BASELINE.json
 (the reference publishes no inference throughput; its training throughput was
 ~614 img/s on one CUDA GPU, BASELINE.md).
@@ -37,6 +44,7 @@ from __future__ import annotations
 import json
 import os
 import signal
+import subprocess
 import sys
 import threading
 import time
@@ -61,7 +69,7 @@ STATE = {
 _EMITTED = threading.Lock()
 
 
-def emit_and_exit(code: int = 0) -> None:
+def emit_and_exit(code: int = 0, extra: dict | None = None) -> None:
     """Print the single JSON result line (exactly once) and hard-exit."""
     if not _EMITTED.acquire(blocking=False):  # someone else is emitting
         time.sleep(5)
@@ -79,6 +87,8 @@ def emit_and_exit(code: int = 0) -> None:
     }
     if STATE["error"]:
         out["error"] = str(STATE["error"])[:300]
+    if extra:
+        out.update(extra)
     print(json.dumps(out), flush=True)
     sys.stdout.flush()
     os._exit(code)
@@ -201,7 +211,7 @@ def run_bench(batch: int, seconds: float, mode: str, use_int8: bool) -> None:
     STATE["stage"] = "upload"
     dev_inputs = [tuple(jax.device_put(a) for a in h) for h in hosts]
     np.asarray(infer(params, {}, *dev_inputs[0])[0])  # settle transfers
-    K = 4
+    K = int(os.environ.get("CVT_BENCH_K", "4"))
 
     @jax.jit
     def chained(params, ins):
@@ -261,26 +271,38 @@ def run_bench(batch: int, seconds: float, mode: str, use_int8: bool) -> None:
     STATE["done"] = True
 
 
-def main():
-    if "--host-pipeline" in sys.argv:
-        # Host-ingest proof (CPU only, no TPU claim): decode-pool throughput
-        # vs thread count — see experiments/host_pipeline.py for the replay
-        # (H2D-mocked) companion measurement.
-        sys.path.insert(0, os.path.join(os.path.dirname(
-            os.path.abspath(__file__)), "experiments"))
-        from host_pipeline import bench_decode
+def run_single():
+    """One (layout, batch) config in-process — the old bench behavior.
 
-        bench_decode(arg("--images", 4096, int))
-        return
+    Supervisor on the main thread (heartbeats + budget watchdog), measurement
+    on a worker thread; one JSON line always."""
     batch = arg("--batch", 512, int)
     seconds = arg("--seconds", 12.0, float)
-    # 480s default: the 240s budget expired twice purely on upload_pack when
-    # tunnel H2D dipped to ~1 MB/s (the pack is ~90 MB int8); a healthy run
-    # finishes in <90s warm, so the extra headroom only matters when stalled.
     budget = arg("--budget", float(os.environ.get("CVT_BENCH_BUDGET", 480)),
                  float)
+    layout = arg("--layout", os.environ.get("CHESS_VISION_INT8_LAYOUT",
+                                            "block"), str)
+    os.environ["CHESS_VISION_INT8_LAYOUT"] = layout
     mode = "rgb" if "--rgb" in sys.argv else "ycbcr420"
     use_int8 = "--no-int8" not in sys.argv
+
+    # Mock plan for the fallback unit test (no TPU touched): a JSON map of
+    # "layout:batch" -> result, where result is a number (succeed with that
+    # compute_bound), a string "error:<msg>" (fail), or a list indexed by
+    # --attempt (retry scenarios).
+    plan = os.environ.get("CVT_BENCH_MOCK_PLAN")
+    if plan:
+        res = json.loads(plan).get(f"{layout}:{batch}", "error:not in plan")
+        if isinstance(res, list):
+            res = res[min(arg("--attempt", 0, int), len(res) - 1)]
+        if isinstance(res, str) and res.startswith("error:"):
+            STATE["error"] = res[6:]
+            STATE["stage"] = "compile"
+        else:
+            STATE["compute_bound"] = float(res)
+            STATE["end_to_end"] = float(res) / 2
+            STATE["stage"] = "done"
+        emit_and_exit(0)
 
     for sig in (signal.SIGTERM, signal.SIGINT):
         signal.signal(sig, lambda s, f: (
@@ -315,6 +337,168 @@ def main():
             f"budget {budget:.0f}s expired at stage={STATE['stage']} "
             "(tunnel/backend stalled)")
     emit_and_exit(0)
+
+
+# ---------------------------------------------------------------------------
+# Driver mode: config chain + retries + fallback, each config in its own
+# subprocess so a wedged backend or a crashed compile helper is contained.
+# ---------------------------------------------------------------------------
+
+# Chain order: known-good first (bank a number), then the upside configs.
+# A leading "?" marks a fallback-only config: tried only if nothing before
+# it produced a number (no point re-measuring block:256 when block:512 —
+# which saturates the chip — already succeeded).
+DEFAULT_CONFIGS = "block:512,fused:512,fused:256,?block:256"
+TRANSIENT = ("500", "budget", "stall", "wedge", "timeout", "signal",
+             "unavailable", "deadline", "internal", "socket closed")
+
+
+def parse_configs(spec: str) -> list[dict]:
+    out = []
+    for item in spec.split(","):
+        item = item.strip()
+        if not item:
+            continue
+        fallback = item.startswith("?")
+        layout, _, b = item.lstrip("?").partition(":")
+        out.append({"layout": layout, "batch": int(b or 512),
+                    "fallback": fallback})
+    return out
+
+
+def spawn_single(cfg: dict, attempt: int, child_budget: float,
+                 seconds: float) -> dict:
+    """Run one config in a subprocess; return its parsed JSON (or a synthetic
+    error dict). Kills the exact child PID on watchdog expiry."""
+    cmd = [sys.executable, os.path.abspath(__file__), "--single",
+           "--layout", cfg["layout"], "--batch", str(cfg["batch"]),
+           "--seconds", str(seconds), "--budget", str(child_budget),
+           "--attempt", str(attempt)]
+    for flag in ("--rgb", "--no-int8", "--end-to-end"):
+        if flag in sys.argv:
+            cmd.append(flag)
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True)
+    try:
+        # child enforces its own budget and always prints JSON; the +90s
+        # grace covers emit/teardown. communicate() cannot hang past that.
+        out, _ = proc.communicate(timeout=child_budget + 90)
+    except subprocess.TimeoutExpired:
+        proc.kill()  # exact PID — never pattern-kill
+        out, _ = proc.communicate()
+    for line in reversed((out or "").strip().splitlines()):
+        try:
+            return json.loads(line)
+        except (json.JSONDecodeError, ValueError):
+            continue
+    return {"value": None,
+            "error": f"child produced no JSON (killed at {child_budget:.0f}s"
+                     " watchdog)"}
+
+
+def run_driver():
+    configs = parse_configs(
+        arg("--configs", os.environ.get("CVT_BENCH_CONFIGS",
+                                        DEFAULT_CONFIGS), str))
+    seconds = arg("--seconds", 12.0, float)
+    budget = arg("--budget",
+                 float(os.environ.get("CVT_BENCH_BUDGET", 1500)), float)
+    retries = arg("--retries", 2, int)
+    backoff = arg("--backoff",
+                  float(os.environ.get("CVT_BENCH_BACKOFF", 30)), float)
+    t0 = time.time()
+    results: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
+    best: dict = {}
+
+    def remaining():
+        return budget - (time.time() - t0)
+
+    def emit_driver(code=0):
+        cb = best.get("compute_bound")
+        e2e = best.get("end_to_end")
+        STATE["compute_bound"] = cb
+        STATE["end_to_end"] = e2e
+        STATE["stage"] = "done" if results else "driver"
+        # degraded: some planned (non-fallback) config never yielded a
+        # number, or no number at all — i.e. the emitted value may not be
+        # the best obtainable. A transient failure that recovered on retry
+        # does NOT degrade the run.
+        degraded = (not any(v for v in results.values() if v)
+                    or any(v is None for v in results.values()))
+        extra = {"configs": results, "degraded": degraded}
+        if best.get("config"):
+            extra["config"] = best["config"]
+        if errors:
+            extra["errors"] = {k: v[:160] for k, v in errors.items()}
+        emit_and_exit(code, extra=extra)
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, lambda s, f: (
+            STATE.__setitem__("error", STATE["error"] or f"signal {s}"),
+            emit_driver(0)))
+
+    have_number = False
+    for cfg in configs:
+        key = f"{cfg['layout']}:{cfg['batch']}"
+        if cfg["fallback"] and have_number:
+            continue
+        for attempt in range(retries + 1):
+            # leave enough budget for the child to finish measuring
+            child_budget = min(
+                float(os.environ.get("CVT_BENCH_CHILD_BUDGET", 480)),
+                remaining() - 15)
+            if child_budget < 60:
+                errors.setdefault(key, "driver budget exhausted")
+                results.setdefault(key, None)
+                break
+            print(f"bench-driver: config {key} attempt {attempt} "
+                  f"(child budget {child_budget:.0f}s, "
+                  f"{remaining():.0f}s left)", file=sys.stderr, flush=True)
+            res = spawn_single(cfg, attempt, child_budget, seconds)
+            val = res.get("compute_bound") or res.get("value")
+            if val:
+                results[key] = val
+                have_number = True
+                headline = res.get("value") or val
+                if headline > (best.get("value") or 0):
+                    best = {"value": headline,
+                            "compute_bound": res.get("compute_bound"),
+                            "end_to_end": res.get("end_to_end"),
+                            "config": key}
+                break
+            err = str(res.get("error", "unknown"))
+            errors[key] = err
+            print(f"bench-driver: {key} attempt {attempt} failed: "
+                  f"{err[:200]}", file=sys.stderr, flush=True)
+            transient = any(t in err.lower() for t in TRANSIENT)
+            if not transient or attempt == retries:
+                results.setdefault(key, None)
+                break
+            # transient (compile-helper 500 / tunnel stall): brief backoff —
+            # a full tunnel wedge lasts ~20 min, which we cannot wait out,
+            # but helper crashes recover in seconds.
+            time.sleep(min(backoff, max(0.0, remaining() - 90)))
+        if remaining() < 60:
+            break
+
+    emit_driver(0)
+
+
+def main():
+    if "--host-pipeline" in sys.argv:
+        # Host-ingest proof (CPU only, no TPU claim): decode-pool throughput
+        # vs thread count — see experiments/host_pipeline.py for the replay
+        # (H2D-mocked) companion measurement.
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "experiments"))
+        from host_pipeline import bench_decode
+
+        bench_decode(arg("--images", 4096, int))
+        return
+    if "--single" in sys.argv:
+        run_single()
+    else:
+        run_driver()
 
 
 if __name__ == "__main__":
