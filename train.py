@@ -265,6 +265,26 @@ def main():
         )
         print(f"Class weights: {class_weights}")
 
+    # --- Auto remat policy (VERDICT r4 #4) ---
+    # model.remat defaults to "auto": run with the least rematerialization
+    # that fits HBM next to the train state and any device-resident dataset
+    # cache. remat=False measured 637 img/s vs full remat's 518.8 at b=256;
+    # the policy makes that the shipped default whenever it fits instead of
+    # a microbench-only flag.
+    from chess_vision_tpu.models import normalize_remat, resolve_remat
+
+    remat_cfg = normalize_remat(cfg["model"].get("remat", "auto"))
+    if remat_cfg == "auto" and cfg["model"].get("arch", "vit") == "vit":
+        remat_cfg = resolve_remat(
+            max(1, batch_size // n_dev),
+            device_cache_bytes=float(est) if use_device_cache else 0.0,
+        )
+        print(f"model.remat=auto -> {remat_cfg} "
+              f"(per-device batch {batch_size // max(n_dev, 1)}, "
+              f"device cache {est / 2**30:.1f} GB"
+              f"{'' if use_device_cache else ' off'})")
+    cfg["model"]["remat"] = remat_cfg
+
     # --- Model / state ---
     model = build_model(cfg)
     variables = init_model_variables(model, cfg, rng_seed=args.seed)
