@@ -57,9 +57,11 @@ def _ln(x_f32, g, b, eps):
     return cen * jax.lax.rsqrt(var + eps) * g + b
 
 
-def _attention(q, k, v, s_all, o_scr, *, num_heads, head_dim, shift):
+def _attention(q, k, v, s_all, o_scr, *, num_heads, head_dim, shift,
+               per_head):
     """Wide-exp attention on one image's (N, D) q/k/v, writing f32 output to
-    o_scr. shift: float (calibrated fixed) or (N, H) f32 (bound mode).
+    o_scr. shift: traced scalar (calibrated fixed) or (N, H) f32 (bound
+    mode, per_head=True).
 
     Same math as attention._wide_exp_attention / _head_pv_split: key axis
     split at the last 128-multiple so the main score tile is lane-exact,
@@ -68,7 +70,6 @@ def _attention(q, k, v, s_all, o_scr, *, num_heads, head_dim, shift):
     <=2 remainder keys folded back as broadcast FMAs."""
     n = q.shape[0]
     nm = (n // _LANES) * _LANES
-    per_head = isinstance(shift, jnp.ndarray)
     for i in range(num_heads):
         sl = slice(i * head_dim, (i + 1) * head_dim)
         s = jax.lax.dot_general(
@@ -81,7 +82,7 @@ def _attention(q, k, v, s_all, o_scr, *, num_heads, head_dim, shift):
         s_all[:, i * nm:(i + 1) * nm] = s - shift[:, i:i + 1] if per_head \
             else s
     p_all = jnp.exp(s_all[...] - (0.0 if per_head else shift)
-                    ).astype(v.dtype)
+                    ).astype(v.dtype)  # shift: traced scalar broadcasts
     extra = _extra_key_scores(q, k, nm, num_heads)       # (N, H) f32 each
     for i in range(num_heads):
         sl = slice(i * head_dim, (i + 1) * head_dim)
@@ -107,11 +108,11 @@ def _fused_block_kernel(xq_ref, xs_ref, res_ref,
                         g2_ref, b2_ref,
                         wfc1_ref, sfc1_ref, bfc1_ref,
                         wfc2_ref, sfc2_ref, bfc2_ref,
-                        gn_ref, bn_ref,
+                        gn_ref, bn_ref, shift_ref,
                         xn_ref, yq_ref, ys_ref,
                         s_all, o_scr,
                         *, bb, num_heads, head_dim, scale, shift_mode,
-                        fixed_shift, approx, eps):
+                        approx, eps):
     D = num_heads * head_dim
     wqkv = wqkv_ref[...]
 
@@ -131,10 +132,14 @@ def _fused_block_kernel(xq_ref, xs_ref, res_ref,
         q = qkv[:, :D] * jnp.asarray(scale, qkv.dtype)
         k = qkv[:, D:2 * D]
         v = qkv[:, 2 * D:]
+        # the calibrated shift arrives as a TRACED SMEM scalar (not a static
+        # python float) so a lax.scan over stacked per-layer weights can vary
+        # it per block while compiling the kernel exactly once
         shift = _bound_shift(q, k, num_heads, head_dim) \
-            if shift_mode == "bound" else fixed_shift
+            if shift_mode == "bound" else shift_ref[0, 0]
         _attention(q, k, v, s_all, o_scr, num_heads=num_heads,
-                   head_dim=head_dim, shift=shift)
+                   head_dim=head_dim, shift=shift,
+                   per_head=shift_mode == "bound")
         aq, as_ = _rowquant(o_scr[...].astype(jnp.float32))
         # proj + residual + norm2 + requant (int8_matmul._res_ln_quant_kernel)
         y = (_int8_dot(aq, wproj_ref[...]).astype(jnp.float32)
@@ -185,6 +190,23 @@ def fused_vit_block(xq, xs, res, q, next_ln, num_heads: int,
         # same CHESS_VISION_GELU default as the split path
         from chess_vision_tpu.ops.quant import _approx_gelu
         approx_gelu = _approx_gelu()
+    shift_arr = jnp.full((1, 1), 0.0 if softmax_shift is None
+                         else float(softmax_shift), jnp.float32)
+    return _pallas_fused(
+        xq, xs, res, q, next_ln, shift_arr,
+        shift_mode="bound" if softmax_shift is None else "fixed",
+        num_heads=num_heads, eps=eps, approx_gelu=approx_gelu,
+        interpret=interpret)
+
+
+def _pallas_fused(xq, xs, res, q, next_ln, shift_arr, *, shift_mode,
+                  num_heads, eps, approx_gelu, interpret):
+    """Build and invoke the fused-block pallas_call. shift_arr: (1, 1) f32
+    TRACED calibrated shift (ignored under shift_mode="bound")."""
+    B, N, D = xq.shape[0], xq.shape[1], xq.shape[2]
+    head_dim = D // num_heads
+    scale = 1.0 / math.sqrt(head_dim)
+    nm = (N // _LANES) * _LANES
     O1 = q["fc1"]["wq"].shape[1]
     # VMEM per image: int8 in/out + bf16 qkv/residuals + f32 score scratch
     # + the fc1 int32/f32 tiles; ~16 MB at ViT-B shapes. Weights (~7 MB)
@@ -200,10 +222,7 @@ def fused_vit_block(xq, xs, res, q, next_ln, num_heads: int,
         raise ValueError("fused block does not fit VMEM at these shapes")
     kern = functools.partial(
         _fused_block_kernel, bb=bb, num_heads=num_heads, head_dim=head_dim,
-        scale=scale,
-        shift_mode="bound" if softmax_shift is None else "fixed",
-        fixed_shift=0.0 if softmax_shift is None else float(softmax_shift),
-        approx=approx_gelu, eps=eps)
+        scale=scale, shift_mode=shift_mode, approx=approx_gelu, eps=eps)
     img = lambda shape: pl.BlockSpec(  # noqa: E731
         (bb,) + shape, lambda b: (b,) + (0,) * len(shape),
         memory_space=pltpu.VMEM)
@@ -227,6 +246,8 @@ def fused_vit_block(xq, xs, res, q, next_ln, num_heads: int,
             w((D, O1)), w((1, O1)), w((1, O1)),
             w((O1, D)), w((1, D)), w((1, D)),
             w((1, D)), w((1, D)),
+            pl.BlockSpec((1, 1), lambda b: (0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=out_specs,
         scratch_shapes=[
@@ -254,5 +275,52 @@ def fused_vit_block(xq, xs, res, q, next_ln, num_heads: int,
       _row2(q["fc1"]["bias"], O1),
       q["fc2"]["wq"], _row2(q["fc2"]["scale"], D),
       _row2(q["fc2"]["bias"], D),
-      _row2(next_ln["scale"], D), _row2(next_ln["bias"], D))
+      _row2(next_ln["scale"], D), _row2(next_ln["bias"], D),
+      shift_arr)
     return x_new, yq, ys
+
+
+def fused_vit_stack(xq, xs, res, blocks, next_norm1s, shifts,
+                    num_heads: int, eps: float = 1e-6, approx_gelu=None,
+                    interpret: bool = False):
+    """Run a CHAIN of fused blocks as ONE lax.scan over stacked weights.
+
+    The unrolled serving program compiles one whole-block Pallas kernel per
+    transformer block (11 for ViT-B): at batch 512 that program
+    deterministically crashed the remote compile helper (round 4,
+    EXPERIMENTS.md). Scanning over a stacked weight tree compiles the fused
+    kernel exactly ONCE — an ~11x smaller program — which is also the fix
+    for multi-minute cold compiles through a remote-compile tunnel.
+
+    blocks / next_norm1s / shifts: per-block quant packs, each block's
+    FOLLOWING norm1 (so the scan emits the next block's quantized input),
+    and per-layer calibrated shifts (all floats, or all None for the bound
+    mode — a mixture must use the unrolled path).
+    Returns (x, yq, ys) after the last scanned block.
+    """
+    assert len(blocks) == len(next_norm1s) == len(shifts) and blocks
+    bound = shifts[0] is None
+    assert all((s is None) == bound for s in shifts), \
+        "fused_vit_stack needs uniform shift mode across layers"
+    if approx_gelu is None:
+        from chess_vision_tpu.ops.quant import _approx_gelu
+        approx_gelu = _approx_gelu()
+
+    stacked_q = jax.tree.map(lambda *a: jnp.stack(a), *blocks)
+    stacked_ln = jax.tree.map(lambda *a: jnp.stack(a), *next_norm1s)
+    shift_arr = jnp.zeros((len(blocks), 1, 1), jnp.float32) if bound else \
+        jnp.asarray(shifts, jnp.float32).reshape(-1, 1, 1)
+
+    def body(carry, layer):
+        x, xq, xs = carry
+        q, nln, sh = layer
+        x, yq, ys = _pallas_fused(
+            xq, xs, x, q, nln, sh,
+            shift_mode="bound" if bound else "fixed",
+            num_heads=num_heads, eps=eps, approx_gelu=approx_gelu,
+            interpret=interpret)
+        return (x, yq, ys), None
+
+    (x, yq, ys), _ = jax.lax.scan(
+        body, (res, xq, xs), (stacked_q, stacked_ln, shift_arr))
+    return x, yq, ys

@@ -487,10 +487,27 @@ def chessvit_int8_apply(pack: dict, images, attn_shifts=None) -> dict:
                                     blocks[0]["norm1"]["bias"])
             shifts = attn_shifts or [None] * len(blocks)
             gelu = _approx_gelu()
-            for i, q in enumerate(blocks[:-1]):
-                x, xq, xs = fused_vit_block(
-                    xq, xs, x, q, blocks[i + 1]["norm1"], num_heads=12,
-                    softmax_shift=shifts[i], approx_gelu=gelu)
+            head_shifts = shifts[:-1]
+            uniform = all((s is None) == (head_shifts[0] is None)
+                          for s in head_shifts)
+            if (len(blocks) > 2 and uniform
+                    and os.environ.get("CHESS_VISION_FUSED_SCAN", "1")
+                    == "1"):
+                # ONE compiled kernel scanned over stacked weights: ~11x
+                # smaller program than the unrolled chain (the round-4
+                # batch-512 compile-helper crash was program-size-shaped).
+                # CHESS_VISION_FUSED_SCAN=0 restores the unrolled loop.
+                from chess_vision_tpu.ops.fused_block import fused_vit_stack
+
+                x, xq, xs = fused_vit_stack(
+                    xq, xs, x, blocks[:-1],
+                    [b["norm1"] for b in blocks[1:]], head_shifts,
+                    num_heads=12, approx_gelu=gelu)
+            else:
+                for i, q in enumerate(blocks[:-1]):
+                    x, xq, xs = fused_vit_block(
+                        xq, xs, x, q, blocks[i + 1]["norm1"], num_heads=12,
+                        softmax_shift=shifts[i], approx_gelu=gelu)
             # last block on the split kernels (no follow-on LN/quant output)
             x, _, _ = _block_tpu(x, xq, xs, blocks[-1], None,
                                  softmax_shift=shifts[-1])

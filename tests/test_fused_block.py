@@ -100,3 +100,36 @@ def test_fused_block_chain_matches_split_chain():
     r = np.asarray(rx2, np.float32)
     f = np.asarray(fx2, np.float32)
     assert np.abs(f - r).max() / max(np.abs(r).max(), 1e-6) < 0.02
+
+
+@pytest.mark.parametrize("shifts", [[2.5, 3.0, 2.0], [None, None, None]],
+                         ids=["calibrated", "bound"])
+def test_fused_stack_matches_unrolled(shifts):
+    """lax.scan over stacked weights == the unrolled fused-block chain.
+
+    The scan compiles the kernel once (the B=512 program-size fix); its math
+    must be bitwise identical to unrolled calls — the only wiring change is
+    the calibrated shift arriving as a traced SMEM scalar."""
+    from chess_vision_tpu.ops.fused_block import fused_vit_stack
+
+    rng = np.random.default_rng(23)
+    qs = [_mkblock(rng) for _ in range(4)]
+    x = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32) * 0.5
+                    ).astype(jnp.bfloat16)
+    xq, xs = fused_rowquant(x, "ln", qs[0]["norm1"]["scale"],
+                            qs[0]["norm1"]["bias"], interpret=True)
+
+    ux, uq, us = x, xq, xs
+    for i in range(3):
+        ux, uq, us = fused_vit_block(uq, us, ux, qs[i], qs[i + 1]["norm1"],
+                                     num_heads=H, softmax_shift=shifts[i],
+                                     interpret=True)
+
+    sx, sq, ss = fused_vit_stack(xq, xs, x, qs[:3],
+                                 [q["norm1"] for q in qs[1:]], shifts,
+                                 num_heads=H, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(sx, np.float32),
+                                  np.asarray(ux, np.float32))
+    np.testing.assert_array_equal(np.asarray(sq), np.asarray(uq))
+    np.testing.assert_array_equal(np.asarray(ss), np.asarray(us))
