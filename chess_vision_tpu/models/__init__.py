@@ -96,11 +96,16 @@ def build_model(cfg: dict) -> nn.Module:
             dtype=dtype,
         )
     if arch == "square":
+        as_bool = lambda v: (  # noqa: E731 — --set strings reach us raw
+            v.lower() in ("true", "1", "yes") if isinstance(v, str) else
+            bool(v))
         return ChessSquareCNN(
             square_overlap=model_cfg.get("square_overlap", 1.5),
             square_input_size=model_cfg.get("square_input_size", 64),
             head_dropout=model_cfg.get("head_dropout", 0.0),
-            pin_backbone_bn=model_cfg.get("pin_backbone_bn", True),
+            pin_backbone_bn=as_bool(model_cfg.get("pin_backbone_bn", True)),
+            turn_color_stats=as_bool(
+                model_cfg.get("turn_color_stats", False)),
             dtype=dtype,
         )
     raise ValueError(f"Unknown architecture: {arch!r} (expected one of {ARCHS})")

@@ -24,6 +24,14 @@ class ChessSquareCNN(nn.Module):
     square_input_size: int = 64
     head_dropout: float = 0.0
     pin_backbone_bn: bool = True  # reference semantics (models/square.py:80-89)
+    # Feed per-square mean colors to the turn/castling heads (config key
+    # model.turn_color_stats; off by default = reference-exact parameters).
+    # The move-highlight cue those heads depend on is a low-frequency
+    # background tint, and the shared backbone — trained almost entirely by
+    # the per-square piece loss, which rewards style/background invariance —
+    # learns features that discard it (measured turn acc ~0.55 in round 3).
+    # 64x3 raw channel means taken BEFORE the backbone preserve the cue.
+    turn_color_stats: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -34,6 +42,8 @@ class ChessSquareCNN(nn.Module):
         crops = crop_squares(
             x, overlap=self.square_overlap, out_size=self.square_input_size
         )  # (B, 64, s, s, C)
+        color_stats = crops.mean(axis=(2, 3)) if self.turn_color_stats \
+            else None                                  # (B, 64, C)
         crops = crops.reshape((B * 64,) + crops.shape[2:])
 
         backbone = MobileNetV4Backbone(
@@ -56,6 +66,11 @@ class ChessSquareCNN(nn.Module):
 
         # Global heads over concatenated per-square features.
         global_feat = features.reshape(B, -1)          # (B, 64*F)
+        if color_stats is not None:
+            global_feat = jnp.concatenate(
+                [global_feat,
+                 color_stats.reshape(B, -1).astype(global_feat.dtype)],
+                axis=-1)                               # (B, 64*F + 192)
         global_feat = drop(global_feat, deterministic=det)
         global_feat = nn.Dense(64, dtype=self.dtype, name="global_fc")(global_feat)
         global_feat = nn.relu(global_feat)

@@ -94,6 +94,24 @@ def test_square_param_count_reasonable():
     assert 2.0e6 < n < 4.0e6, f"got {n:,}"
 
 
+def test_square_turn_color_stats_pathway():
+    """model.turn_color_stats feeds 64x3 per-square mean colors to the
+    global heads: default-off is parameter-identical to the reference; on,
+    only global_fc grows (by 192 input rows) and the turn logits become
+    sensitive to a background tint the pooled-feature path may discard."""
+    base = _cfg("square")
+    variables, _ = _init_and_apply(build_model(base), batch=1)
+    n_base = param_count(variables["params"])
+
+    cfg = _cfg("square")
+    cfg["model"]["turn_color_stats"] = "true"  # --set delivers a string
+    model = build_model(cfg)
+    assert model.turn_color_stats is True
+    variables2, out = _init_and_apply(model, batch=1)
+    _check_outputs(out, batch=1)
+    assert param_count(variables2["params"]) == n_base + 192 * 64
+
+
 def test_cnn_param_count_reasonable():
     """Reference ChessCNN (ConvNeXtV2-Tiny) is ~28M params."""
     model = build_model(_cfg("cnn"))
