@@ -348,7 +348,7 @@ def run_single():
 # A leading "?" marks a fallback-only config: tried only if nothing before
 # it produced a number (no point re-measuring block:256 when block:512 —
 # which saturates the chip — already succeeded).
-DEFAULT_CONFIGS = "block:512,fused:512,fused:256,?block:256"
+DEFAULT_CONFIGS = "block:512,fused:512,fused:256,?block:256,?xla:512"
 TRANSIENT = ("500", "budget", "stall", "wedge", "timeout", "signal",
              "unavailable", "deadline", "internal", "socket closed")
 

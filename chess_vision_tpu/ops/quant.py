@@ -470,7 +470,16 @@ def chessvit_int8_apply(pack: dict, images, attn_shifts=None) -> dict:
         # than the larger row tiles buy; see EXPERIMENTS.md round-3 profile).
         # "fused" runs each block as ONE Pallas call (ops/fused_block.py).
         layout = os.environ.get("CHESS_VISION_INT8_LAYOUT", "block")
-        if layout == "fused":
+        if layout == "xla":
+            # No-custom-call escape hatch: the plain-XLA int8 blocks (the
+            # non-TPU path below) compiled on TPU. Slower than the Pallas
+            # layouts (XLA can't fuse the attention passes or keep the fc1
+            # stream in VMEM) but it survives remote-compile helpers that
+            # reject Pallas/Mosaic programs — round 5 saw every Pallas
+            # serving program 500 while pure-XLA programs compiled.
+            for q in blocks:
+                x = _block(x, q)
+        elif layout == "fused":
             from chess_vision_tpu.ops.attention import _LANES, _pow2
             from chess_vision_tpu.ops.fused_block import fused_vit_block
 
@@ -529,7 +538,7 @@ def chessvit_int8_apply(pack: dict, images, attn_shifts=None) -> dict:
                                             images=B, n_real=N,
                                             softmax_shift=shifts[i])
             x = x.reshape(B, NP, D)[:, :N]
-        else:
+        elif layout != "xla":  # "block", the default ("xla" already ran)
             xq, xs = fused_rowquant(x, "ln", blocks[0]["norm1"]["scale"],
                                     blocks[0]["norm1"]["bias"])
             shifts = attn_shifts or [None] * len(blocks)
