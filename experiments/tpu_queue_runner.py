@@ -473,26 +473,17 @@ def main() -> None:
                  [py, "experiments/microbench.py", "train", "512", "8",
                   "false"], timeout_s=1500, stall_s=600)
 
-    # -- 11d. r4d: the fused-layout bench has NEVER completed (three upload
-    # wedges + one transient remote-compile 500; the identical kernel shape
-    # compiled and passed accuracy in int8_eval_fused). Observed wedges never
-    # recover within a single budget (~20 min outages) — short attempts with
-    # fresh processes beat one long wait. Then refresh block in the same
-    # tunnel window so the A/B is apples-to-apples. -------------------------
+    # -- 11d. layout A/B: bench.py's driver mode (round 5) now owns the
+    # retry/fallback logic — per-config subprocesses, transient-failure
+    # retries, fused->block / 512->256 fallback, one JSON with per-config
+    # values. One step replaces the hand-rolled r4d retry loops (which
+    # benched fused at the batch-512 config that deterministically failed
+    # to compile — advisor r4 finding). --------------------------------------
     if enabled("r4d"):
-        v_f = None
-        for attempt in range(3):
-            name = f"bench_fused_r4d_a{attempt}"
-            run_step(name, [py, "bench.py"], timeout_s=700, stall_s=700,
-                     env={"CHESS_VISION_INT8_LAYOUT": "fused",
-                          "CVT_BENCH_BUDGET": "600"})
-            v_f = bench_value(os.path.join(LOGDIR, name + ".log"))
-            if v_f is not None:
-                break
-        run_step("bench_block_r4d", [py, "bench.py"], timeout_s=700,
-                 stall_s=700, env={"CVT_BENCH_BUDGET": "600"})
-        v_b = bench_value(os.path.join(LOGDIR, "bench_block_r4d.log"))
-        log(f"r4d layout A/B: fused={v_f} block={v_b}")
+        run_step("bench_layout_ab", [
+            py, "bench.py", "--configs",
+            "block:512,fused:512,fused:256,block:256", "--budget", "2400",
+        ], timeout_s=2600, stall_s=2600)
 
     # -- 12. full_fen parity run: r3-style fixed pool + human-policy labels
     # (datagen_parity.yaml must be rendered first — CPU-only, ~30 min) -----
