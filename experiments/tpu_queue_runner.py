@@ -515,6 +515,108 @@ def main() -> None:
                 "--test-dir", "data/test_lathe", "--batch-size", "64",
             ], timeout_s=3600, stall_s=900)
 
+    # ======================= round 5 =======================
+
+    # -- r5a. parity-model evals (the parity train itself runs in the
+    # foreground session; this picks up its checkpoint) ---------------------
+    if enabled("r5evalparity") and os.path.exists(
+            "/root/ckpt_vit_parity/best.ckpt"):
+        ck = "/root/ckpt_vit_parity/best.ckpt"
+        run_step("eval_parity_test", [
+            py, "evaluate.py", "--checkpoint", ck,
+            "--test-dir", "data/test_parity", "--batch-size", "64",
+        ], timeout_s=3600, stall_s=1200)
+        for split in ("test_lathe", "test_spline_holdout", "test_random"):
+            if os.path.exists(f"data/{split}"):
+                run_step(f"eval_parity_{split}", [
+                    py, "evaluate.py", "--checkpoint", ck,
+                    "--test-dir", f"data/{split}", "--batch-size", "64",
+                ], timeout_s=2400, stall_s=1200)
+
+    # -- r5b. serving bench: one PATIENT single-config compile first (today's
+    # helper crawls but caches persist — one success makes every later run
+    # warm), then the full driver chain --------------------------------------
+    if enabled("r5bench"):
+        run_step("bench_patient_block512", [
+            py, "bench.py", "--single", "--layout", "block",
+            "--batch", "512", "--budget", "2700",
+        ], timeout_s=2900, stall_s=2900)
+        run_step("bench_driver_r5", [py, "bench.py", "--budget", "2400"],
+                 timeout_s=2700, stall_s=2700)
+
+    # -- r5c. production-path >=600 img/s evidence (VERDICT r4 #4): a real
+    # train.py run whose device cache is small enough that model.remat=auto
+    # resolves to False (55k ycbcr420 ~ 5.4 GB) ------------------------------
+    if enabled("r5prod"):
+        train_with_retries(
+            "train_prod600",
+            [py, "train.py", "--config", "configs/vit_tpu.yaml", "--set",
+             "model.pretrained=false", "data.transport=ycbcr420",
+             "data.num_workers=2", "data.max_samples=55000",
+             "data.train_dir=data/train_parity",
+             "data.test_dir=data/test_parity", "data.ood_val_dir=null",
+             "data.device_cache=true", "data.device_cache_chunk=16",
+             "training.epochs=2", "training.batch_size=256",
+             "checkpointing.save_dir=/root/ckpt_prod600",
+             "logging.tensorboard_dir=/root/runs_prod600"],
+            ckpt_dir="/root/ckpt_prod600",
+            timeout_s=3 * 3600, stall_s=2400, fresh_first=True)
+
+    # -- r5d. square-model turn head A/B (VERDICT r4 #6): identical recipes
+    # +- model.turn_color_stats; the evals' grouped metrics expose
+    # highlighted-vs-not turn accuracy ---------------------------------------
+    if enabled("r5square"):
+        for tag, flag in (("base", "false"), ("stats", "true")):
+            run_ok = train_with_retries(
+                f"train_square_{tag}",
+                [py, "train.py", "--config", "configs/square_tpu.yaml",
+                 "--set", "model.pretrained=false",
+                 "model.pin_backbone_bn=false",
+                 f"model.turn_color_stats={flag}",
+                 "data.transport=ycbcr420", "data.num_workers=2",
+                 "data.max_samples=30000",
+                 "data.train_dir=data/train_parity",
+                 "data.test_dir=data/test_parity", "data.ood_val_dir=null",
+                 "training.epochs=4",
+                 f"checkpointing.save_dir=/root/ckpt_square_{tag}",
+                 f"logging.tensorboard_dir=/root/runs_square_{tag}"],
+                ckpt_dir=f"/root/ckpt_square_{tag}",
+                timeout_s=4 * 3600, stall_s=2400, fresh_first=True)
+            ck = f"/root/ckpt_square_{tag}/latest.ckpt"
+            if run_ok and os.path.exists(ck):
+                run_step(f"eval_square_{tag}", [
+                    py, "evaluate.py", "--checkpoint", ck,
+                    "--test-dir", "data/test_parity", "--batch-size", "64",
+                    "--max-samples", "3000",
+                ], timeout_s=2400, stall_s=1200)
+
+    # -- r5e. OOD retrain on the round-5 corpus (VERDICT r4 #7: more random
+    # share + wider spline grammar) + the full holdout table -----------------
+    if enabled("r5ood"):
+        train_with_retries(
+            "train_vit_r5",
+            [py, "train.py", "--config", "configs/vit_tpu.yaml", "--set",
+             "model.pretrained=false", "data.transport=ycbcr420",
+             "data.num_workers=2", "data.max_samples=120000",
+             "data.train_dir=data/train", "data.test_dir=data/test",
+             "data.ood_val_dir=null", "data.device_cache=true",
+             "data.device_cache_budget_gb=12", "data.device_cache_chunk=16",
+             "training.epochs=10", "training.batch_size=128",
+             "training.lr=0.0002",
+             "checkpointing.save_dir=/root/ckpt_vit_r5",
+             "logging.tensorboard_dir=/root/runs_vit_r5"],
+            ckpt_dir="/root/ckpt_vit_r5",
+            timeout_s=7 * 3600, stall_s=2400, fresh_first=True)
+        ck5 = "/root/ckpt_vit_r5/best.ckpt"
+        if os.path.exists(ck5):
+            for split in ("test", "test_random", "test_geo", "test_lathe",
+                          "test_spline_holdout"):
+                run_step(f"eval_r5_{split}", [
+                    py, "evaluate.py", "--checkpoint", ck5,
+                    "--test-dir", f"data/{split}", "--batch-size", "64",
+                    "--max-samples", "3000",
+                ], timeout_s=2400, stall_s=1200)
+
     record("runner_end", ok=True)
     log("queue complete")
 
