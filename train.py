@@ -84,7 +84,55 @@ def maybe_load_pretrained(variables, cfg) -> tuple[dict, bool]:
     return variables, True
 
 
+def _start_keepalive(interval_s: float = 20.0):
+    """Round-trip a scalar through the device every interval_s until stopped.
+
+    Round-5 diagnosis (SIGUSR1 stack dumps): after the backend initializes,
+    several MINUTES of host-only startup work (dataset scan, fen counting)
+    pass before the first real device op — and over the relay-tunnelled
+    backend that first post-idle round-trip hangs indefinitely (a fresh
+    process probing immediately completes in <1 s).  Keeping the session
+    warm with a trivial op closes the idle window. Returns a stop() fn."""
+    import threading
+
+    stop = threading.Event()
+
+    def body():
+        import jax
+
+        while not stop.wait(interval_s):
+            try:
+                np.asarray(jax.device_put(np.float32(0.0)))
+            except Exception:
+                return  # backend gone; the main thread will surface it
+
+        # one last warm-up op right as the main thread resumes device work
+        try:
+            np.asarray(jax.device_put(np.float32(0.0)))
+        except Exception:
+            pass
+
+    t = threading.Thread(target=body, daemon=True, name="tpu-keepalive")
+    t.start()
+    return stop.set
+
+
+def _stage(msg: str) -> None:
+    """Startup-stage heartbeat on stderr: the remote-compile/tunnel backend
+    can stall any early device interaction for many minutes (round-5 infra),
+    and without these lines a stuck launch is indistinguishable from a slow
+    one. SIGUSR1 dumps all thread stacks (faulthandler) for live diagnosis."""
+    import sys
+
+    print(f"    [stage {time.strftime('%H:%M:%S')}] {msg}",
+          file=sys.stderr, flush=True)
+
+
 def main():
+    import faulthandler
+    import signal as _signal
+
+    faulthandler.register(_signal.SIGUSR1, all_threads=True)
     from chess_vision_tpu.utils.platform import apply_platform_env
 
     apply_platform_env()
@@ -148,6 +196,9 @@ def main():
         os.environ.setdefault("CHESS_VISION_NO_PALLAS_ATTN", "1")
     n_data = mesh.shape.get("data", n_dev) if tp > 1 else n_dev
     print(f"Devices: {n_dev} x {jax.devices()[0].device_kind}")
+    # Keep the device session warm through the host-only startup phases
+    # (dataset scan / class weights): see _start_keepalive.
+    stop_keepalive = _start_keepalive()
 
     # --- Data ---
     input_size = cfg["model"].get("input_size") or 224
@@ -260,6 +311,7 @@ def main():
     # --- Class weights ---
     class_weights = None
     if cfg["training"].get("use_class_weights", False):
+        _stage("class weights (host count + one tiny H2D)")
         class_weights = compute_class_weights(
             [dataset.samples[i] for i in train_idx]
         )
@@ -287,7 +339,10 @@ def main():
 
     # --- Model / state ---
     model = build_model(cfg)
+    _stage("jitted model init (first device compile of this process)")
     variables = init_model_variables(model, cfg, rng_seed=args.seed)
+    _stage("model init done")
+    stop_keepalive()  # device work is continuous from here on
     variables, _ = maybe_load_pretrained(variables, cfg)
     n_params = param_count(variables["params"])
     print(f"Parameters: {n_params:,}")
