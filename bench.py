@@ -282,9 +282,16 @@ def run_single():
                  float)
     layout = arg("--layout", os.environ.get("CHESS_VISION_INT8_LAYOUT",
                                             "block"), str)
-    os.environ["CHESS_VISION_INT8_LAYOUT"] = layout
     mode = "rgb" if "--rgb" in sys.argv else "ycbcr420"
     use_int8 = "--no-int8" not in sys.argv
+    if layout == "bf16":
+        # Pseudo-layout: the unquantized bf16 forward. No int8 Pallas
+        # programs anywhere — the deepest fallback when the remote compile
+        # helper rejects every quantized serving program (round-5 failure
+        # mode; see EXPERIMENTS.md "compile-helper regression").
+        use_int8 = False
+    else:
+        os.environ["CHESS_VISION_INT8_LAYOUT"] = layout
 
     # Mock plan for the fallback unit test (no TPU touched): a JSON map of
     # "layout:batch" -> result, where result is a number (succeed with that
@@ -348,7 +355,7 @@ def run_single():
 # A leading "?" marks a fallback-only config: tried only if nothing before
 # it produced a number (no point re-measuring block:256 when block:512 —
 # which saturates the chip — already succeeded).
-DEFAULT_CONFIGS = "block:512,fused:512,fused:256,?block:256,?xla:512"
+DEFAULT_CONFIGS = "block:512,fused:512,fused:256,?block:256,?xla:512,?bf16:512"
 TRANSIENT = ("500", "budget", "stall", "wedge", "timeout", "signal",
              "unavailable", "deadline", "internal", "socket closed")
 

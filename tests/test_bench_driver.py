@@ -85,6 +85,22 @@ def test_all_fail_emits_null_with_errors():
     assert res["metric"] == "vitb_inference_boards_per_sec_per_chip"
 
 
+def test_bf16_last_resort_when_every_int8_program_fails():
+    # Round-5 failure mode: the compile helper 500s EVERY quantized serving
+    # program (block/fused/xla at any batch); the unquantized bf16 pseudo-
+    # layout is the deepest fallback and must still bank a number.
+    err = "error:remote_compile HTTP 500: tpu_compile_helper exit 1"
+    res = run_driver(
+        {"block:512": err, "fused:512": err, "fused:256": err,
+         "block:256": err, "xla:512": err, "bf16:512": 1280.0},
+        "block:512,fused:512,fused:256,?block:256,?xla:512,?bf16:512",
+        retries=0,
+    )
+    assert res["value"] == 1280.0
+    assert res["config"] == "bf16:512"
+    assert res["degraded"] is True
+
+
 def test_best_config_wins():
     res = run_driver({"block:512": 4100.0, "fused:512": 4800.0},
                      "block:512,fused:512")
