@@ -352,14 +352,19 @@ def run_single():
 # ---------------------------------------------------------------------------
 
 # Chain order: bank a number FIRST, then chase the upside. Round-5's compile
-# helper deterministically 500s every Pallas int8 serving program (block,
-# fused, any batch) while the pure-XLA int8 layout compiles and measures
+# helper deterministically 500s every int8_matmul/fused_block Pallas program
+# (block, fused, any batch) while pure-XLA int8 compiles and measures
 # (2,357.7 boards/s on 2026-08-21) — so xla:512 leads: ~8 min to a banked
 # number in the broken-helper world, a small constant cost in the healthy
 # one (the driver keeps the best value across the chain, so block/fused
-# still set the headline when they compile). A leading "?" marks a
-# fallback-only config: tried only if nothing before it produced a number.
-DEFAULT_CONFIGS = "xla:512,block:512,fused:512,fused:256,?block:256,?bf16:512"
+# still set the headline when they compile). hybrid:512 runs second: it uses
+# only the two custom calls the broken helper still accepts (fused_rowquant
+# + the plain attention kernel, both already inside the xla:512 program that
+# compiled) and removes the pure-XLA layout's f32 quant-chain HBM passes.
+# A leading "?" marks a fallback-only config: tried only if nothing before
+# it produced a number.
+DEFAULT_CONFIGS = ("xla:512,hybrid:512,block:512,fused:512,fused:256,"
+                   "?block:256,?bf16:512")
 TRANSIENT = ("500", "budget", "stall", "wedge", "timeout", "signal",
              "unavailable", "deadline", "internal", "socket closed")
 

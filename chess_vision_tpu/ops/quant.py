@@ -143,6 +143,12 @@ def _rowquant_kernel(x_ref, g_ref, b_ref, xq_ref, s_ref, *, mode, eps):
         x = cen * jax.lax.rsqrt(var + eps) * g_ref[0] + b_ref[0]
     elif mode == "gelu":
         x = 0.5 * x * (1.0 + _erf(x * (1.0 / math.sqrt(2.0))))
+    elif mode == "gelu_sigmoid":
+        # serving-default approx (CHESS_VISION_GELU=sigmoid): one exp vs the
+        # ~18-op erf rational — the fc1 stream is the largest tensor here
+        x = x * (1.0 / (1.0 + jnp.exp(-1.702 * x)))
+    elif mode == "gelu_hard":
+        x = x * jnp.clip(0.4255 * x + 0.5, 0.0, 1.0)
     amax = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), 1e-8)
     xq_ref[...] = jnp.clip(
         jnp.round(x * (127.0 / amax)), -127, 127
@@ -155,7 +161,8 @@ def fused_rowquant(x, mode: str = "none", ln_scale=None, ln_bias=None,
     """(B, N, D) bf16/f32 -> (int8 (B, N, D), f32 scales (B, N, 1)).
 
     mode: "none" (plain abs-max quant), "ln" (LayerNorm first, params
-    required), "gelu" (exact erf GELU first). Several images per grid cell
+    required), "gelu" (exact erf GELU first), "gelu_sigmoid" / "gelu_hard"
+    (the serving GELU approximations). Several images per grid cell
     (amortizing per-cell overhead); each cell holds its whole (bb, N, D) row
     block in VMEM so the pre-op, both reductions (LN stats + abs-max), and
     the rounding happen in a single HBM read.
@@ -374,6 +381,60 @@ def _block(x, q, num_heads=12):
     return x
 
 
+def _gelu_rowquant_mode() -> str:
+    """CHESS_VISION_GELU -> the fused_rowquant mode for the fc1 epilogue."""
+    return {"sigmoid": "gelu_sigmoid", "hard": "gelu_hard"}.get(
+        _approx_gelu(), "gelu")
+
+
+def _block_hybrid(x, q, num_heads=12, interpret=False):
+    """One ViT block on the HYBRID serving layout.
+
+    Sits between "xla" and "block": every matmul is a plain-XLA int8
+    dot_general (epilogue rescale+bias+residual fused by XLA) and attention
+    is the plain Pallas forward kernel (the same custom call the xla layout
+    already carries on TPU) — but the dynamic-quant chain (LayerNorm /
+    GELU + abs-max + round), which costs the pure-XLA layout several full
+    f32 HBM passes per tensor per block, runs as the small fused_rowquant
+    Pallas kernel: one HBM read per tensor. Motivation: round 5's remote
+    compile helper 500s every int8_matmul/fused_block Pallas program while
+    fused_rowquant and the plain attention kernel still compile — this
+    layout uses only those two kernels (see EXPERIMENTS.md round 5).
+    """
+    from chess_vision_tpu.ops.attention import fused_qkv_attention
+
+    xq, xs = fused_rowquant(x, "ln", q["norm1"]["scale"], q["norm1"]["bias"],
+                            interpret=interpret)
+    qkv = quant_dense_q(xq, xs, q["qkv"]["wq"], q["qkv"]["scale"],
+                        q["qkv"]["bias"])
+    att = fused_qkv_attention(qkv, num_heads)
+    aq, as_ = fused_rowquant(att, "none", interpret=interpret)
+    x = x + quant_dense_q(aq, as_, q["proj"]["wq"], q["proj"]["scale"],
+                          q["proj"]["bias"])
+    hq, hs = fused_rowquant(x, "ln", q["norm2"]["scale"], q["norm2"]["bias"],
+                            interpret=interpret)
+    h = quant_dense_q(hq, hs, q["fc1"]["wq"], q["fc1"]["scale"],
+                      q["fc1"]["bias"])  # bf16: halves the fc1 stream's HBM
+    gq, gs = fused_rowquant(h, _gelu_rowquant_mode(), interpret=interpret)
+    x = x + quant_dense_q(gq, gs, q["fc2"]["wq"], q["fc2"]["scale"],
+                          q["fc2"]["bias"])
+    return x
+
+
+def _hybrid_stack(x, blocks, num_heads=12, interpret=False):
+    """lax.scan of _block_hybrid over layer-stacked weights: the whole
+    12-block stack compiles as ONE block body (2 distinct small Pallas
+    kernels), keeping the serving program far below the compile helper's
+    resource ceiling (the round-5 failure is program-complexity-shaped)."""
+    stacked = jax.tree.map(lambda *a: jnp.stack(a), *blocks)
+
+    def body(x, q):
+        return _block_hybrid(x, q, num_heads, interpret), None
+
+    x, _ = jax.lax.scan(body, x, stacked)
+    return x
+
+
 def _embed(pack: dict, images):
     """Patch-embed + cls + pos: (B, S, S, 3) -> ((B, N, D) bf16, grid G)."""
     pe = pack["patch_embed"]
@@ -479,6 +540,16 @@ def chessvit_int8_apply(pack: dict, images, attn_shifts=None) -> dict:
             # serving program 500 while pure-XLA programs compiled.
             for q in blocks:
                 x = _block(x, q)
+        elif layout == "hybrid":
+            # XLA int8 matmuls + fused_rowquant + plain Pallas attention
+            # only — the two custom calls the round-5 compile helper still
+            # accepts — scanned over stacked weights for a tiny program.
+            if (len(blocks) > 2 and os.environ.get(
+                    "CHESS_VISION_HYBRID_SCAN", "1") == "1"):
+                x = _hybrid_stack(x, blocks)
+            else:
+                for q in blocks:
+                    x = _block_hybrid(x, q)
         elif layout == "fused":
             from chess_vision_tpu.ops.attention import _LANES, _pow2
             from chess_vision_tpu.ops.fused_block import fused_vit_block
@@ -538,7 +609,8 @@ def chessvit_int8_apply(pack: dict, images, attn_shifts=None) -> dict:
                                             images=B, n_real=N,
                                             softmax_shift=shifts[i])
             x = x.reshape(B, NP, D)[:, :N]
-        elif layout != "xla":  # "block", the default ("xla" already ran)
+        elif layout not in ("xla", "hybrid"):  # "block", the default
+            # ("xla"/"hybrid" already ran above)
             xq, xs = fused_rowquant(x, "ln", blocks[0]["norm1"]["scale"],
                                     blocks[0]["norm1"]["bias"])
             shifts = attn_shifts or [None] * len(blocks)

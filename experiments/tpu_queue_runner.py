@@ -617,6 +617,27 @@ def main() -> None:
                     "--max-samples", "3000",
                 ], timeout_s=2400, stall_s=1200)
 
+    # -- r5f. hybrid serving layout (round-5 compile-helper escape hatch #2:
+    # XLA int8 matmuls + fused_rowquant + plain Pallas attention, scanned) —
+    # throughput + accuracy gate, then the full driver chain for the record -
+    if enabled("r5hybrid"):
+        run_step("bench_hybrid512", [
+            py, "bench.py", "--single", "--layout", "hybrid",
+            "--batch", "512", "--budget", "900",
+        ], timeout_s=1100, stall_s=1100)
+        ck = next((c for c in ("/root/ckpt_vit_r5/best.ckpt",
+                               "/root/ckpt_vit_parity/best.ckpt")
+                   if os.path.exists(c)), None)
+        if ck:
+            td = ("data/test_parity" if "parity" in ck else "data/test")
+            run_step("int8_eval_hybrid", [
+                py, "experiments/int8_eval.py", "--checkpoint", ck,
+                "--test-dir", td, "--max-samples", "512",
+            ], timeout_s=1800, stall_s=1200,
+                env={"CHESS_VISION_INT8_LAYOUT": "hybrid"})
+        run_step("bench_driver_r5h", [py, "bench.py", "--budget", "2400"],
+                 timeout_s=2700, stall_s=2700)
+
     record("runner_end", ok=True)
     log("queue complete")
 

@@ -253,6 +253,63 @@ def test_block_tpu_chain_matches_plain_block():
     assert rel < 0.05, rel
 
 
+def _tiny_block_params(rng, D, seed_scale=0.05):
+    def mkdense(k, o):
+        w = rng.normal(size=(k, o)).astype(np.float32) / np.sqrt(k)
+        wq, ws = _quant_weight(w)
+        return {"wq": jnp.asarray(wq), "scale": jnp.asarray(ws),
+                "bias": jnp.asarray(rng.normal(size=(o,)).astype(np.float32)
+                                    * seed_scale)}
+
+    def mknorm():
+        return {"scale": jnp.asarray(1 + 0.1 * rng.normal(size=(D,))
+                                     .astype(np.float32)),
+                "bias": jnp.asarray(0.1 * rng.normal(size=(D,))
+                                    .astype(np.float32))}
+
+    return {"norm1": mknorm(), "norm2": mknorm(),
+            "qkv": mkdense(D, 3 * D), "proj": mkdense(D, D),
+            "fc1": mkdense(D, 4 * D), "fc2": mkdense(4 * D, D)}
+
+
+def test_block_hybrid_matches_plain_block():
+    """The hybrid serving layout (XLA int8 matmuls + fused_rowquant quant
+    chain) reproduces _block's math within int8 rounding tolerance."""
+    from chess_vision_tpu.ops.quant import _block, _block_hybrid
+
+    rng = np.random.default_rng(12)
+    B, N, D, H = 1, 16, 128, 2
+    x = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32) * 0.5
+                    ).astype(jnp.bfloat16)
+    q = _tiny_block_params(rng, D)
+
+    ref = np.asarray(_block(x, q, num_heads=H), np.float32)
+    out = np.asarray(_block_hybrid(x, q, num_heads=H, interpret=True),
+                     np.float32)
+    assert np.abs(out - ref).max() < 0.25, np.abs(out - ref).max()
+    rel = np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-6)
+    assert rel < 0.05, rel
+
+
+def test_hybrid_stack_matches_unrolled():
+    """The scanned hybrid stack is bitwise-identical to the per-block loop
+    (same kernels, same order — scan only stacks the weights)."""
+    from chess_vision_tpu.ops.quant import _block_hybrid, _hybrid_stack
+
+    rng = np.random.default_rng(13)
+    B, N, D, H = 2, 16, 128, 2
+    x = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32) * 0.5
+                    ).astype(jnp.bfloat16)
+    blocks = [_tiny_block_params(rng, D) for _ in range(3)]
+
+    ref = x
+    for q in blocks:
+        ref = _block_hybrid(ref, q, num_heads=H, interpret=True)
+    out = _hybrid_stack(x, blocks, num_heads=H, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref, np.float32),
+                                  np.asarray(out, np.float32))
+
+
 def test_calibrated_softmax_shifts(rng):
     """calibrate_attn_shifts measures per-layer logit ranges on the int8
     block math and returns shifts usable by the serving kernels; the
