@@ -532,12 +532,14 @@ def chessvit_int8_apply(pack: dict, images, attn_shifts=None) -> dict:
         # "fused" runs each block as ONE Pallas call (ops/fused_block.py).
         layout = os.environ.get("CHESS_VISION_INT8_LAYOUT", "block")
         if layout == "xla":
-            # No-custom-call escape hatch: the plain-XLA int8 blocks (the
-            # non-TPU path below) compiled on TPU. Slower than the Pallas
-            # layouts (XLA can't fuse the attention passes or keep the fc1
-            # stream in VMEM) but it survives remote-compile helpers that
-            # reject Pallas/Mosaic programs — round 5 saw every Pallas
-            # serving program 500 while pure-XLA programs compiled.
+            # Escape hatch: the plain-XLA int8 blocks. NOTE: not literally
+            # custom-call-free on TPU — _block's fused_qkv_attention still
+            # dispatches to the plain Pallas attention forward (and that
+            # program compiled under round 5's degraded helper, which is
+            # what the "hybrid" layout builds on). Slower than the Pallas
+            # layouts: the dynamic-quant chain runs as multi-pass f32 XLA
+            # ops. Survives helpers that reject the int8_matmul/fused_block
+            # Mosaic programs — round 5 saw all of those 500.
             for q in blocks:
                 x = _block(x, q)
         elif layout == "hybrid":
