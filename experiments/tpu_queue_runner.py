@@ -635,6 +635,10 @@ def main() -> None:
                 "--test-dir", td, "--max-samples", "512",
             ], timeout_s=1800, stall_s=1200,
                 env={"CHESS_VISION_INT8_LAYOUT": "hybrid"})
+
+    # -- r5g. full driver-chain record (separate group: the round-end BENCH
+    # capture runs the same chain; schedule this only if time permits) ------
+    if enabled("r5benchfinal"):
         run_step("bench_driver_r5h", [py, "bench.py", "--budget", "2400"],
                  timeout_s=2700, stall_s=2700)
 
