@@ -142,7 +142,11 @@ def run_bench(batch: int, seconds: float, mode: str, use_int8: bool) -> None:
         from chess_vision_tpu.serve import make_int8_infer_fn
 
         calib = None
-        if os.environ.get("CVT_BENCH_CALIB", "1") == "1":
+        # xla/hybrid attention ignores calibrated shifts (plain kernel,
+        # env-selected shift mode) — don't spend child budget calibrating
+        if (os.environ.get("CVT_BENCH_CALIB", "1") == "1"
+                and os.environ.get("CHESS_VISION_INT8_LAYOUT", "block")
+                not in ("xla", "hybrid")):
             # calibrate per-layer softmax shifts on a synthetic batch — the
             # recommended serving config (serve.py --calib does the same on
             # real inputs at load time; measured +6% over the adaptive
