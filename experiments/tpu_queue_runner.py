@@ -617,6 +617,34 @@ def main() -> None:
                     "--max-samples", "3000",
                 ], timeout_s=2400, stall_s=1200)
 
+    # -- r5e2. reduced-scale OOD retrain: the 108k upload stalled the tunnel
+    # twice (square_base, train_vit_r5 attempt 0); 4.7 GB-class uploads
+    # demonstrably complete (prod600), so probe the r5 corpus levers at 55k
+    # with the fast b=256/noremat recipe instead of losing the item --------
+    if enabled("r5ood2"):
+        train_with_retries(
+            "train_vit_r5b",
+            [py, "train.py", "--config", "configs/vit_tpu.yaml", "--set",
+             "model.pretrained=false", "data.transport=ycbcr420",
+             "data.num_workers=2", "data.max_samples=55000",
+             "data.train_dir=data/train", "data.test_dir=data/test",
+             "data.ood_val_dir=null", "data.device_cache=true",
+             "data.device_cache_chunk=16",
+             "training.epochs=10", "training.batch_size=256",
+             "checkpointing.save_dir=/root/ckpt_vit_r5b",
+             "logging.tensorboard_dir=/root/runs_vit_r5b"],
+            ckpt_dir="/root/ckpt_vit_r5b",
+            timeout_s=2 * 3600, stall_s=1500, fresh_first=True)
+        ck5 = "/root/ckpt_vit_r5b/best.ckpt"
+        if os.path.exists(ck5):
+            for split in ("test_lathe", "test_spline_holdout", "test_random",
+                          "test_geo", "test"):
+                run_step(f"eval_r5b_{split}", [
+                    py, "evaluate.py", "--checkpoint", ck5,
+                    "--test-dir", f"data/{split}", "--batch-size", "64",
+                    "--max-samples", "2000",
+                ], timeout_s=2400, stall_s=1200)
+
     # -- r5f. hybrid serving layout (round-5 compile-helper escape hatch #2:
     # XLA int8 matmuls + fused_rowquant + plain Pallas attention, scanned) —
     # throughput + accuracy gate, then the full driver chain for the record -
