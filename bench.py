@@ -367,7 +367,9 @@ def run_single():
 # compiled) and removes the pure-XLA layout's f32 quant-chain HBM passes.
 # A leading "?" marks a fallback-only config: tried only if nothing before
 # it produced a number.
-DEFAULT_CONFIGS = ("xla:512,hybrid:512,block:512,fused:512,fused:256,"
+# hybrid:512 measured 2,619.4 vs xla:512's 2,357.7 (both banked 2026-08-21;
+# hybrid's compile is cached server-side) — lead with the better bank.
+DEFAULT_CONFIGS = ("hybrid:512,xla:512,block:512,fused:512,fused:256,"
                    "?block:256,?bf16:512")
 TRANSIENT = ("500", "budget", "stall", "wedge", "timeout", "signal",
              "unavailable", "deadline", "internal", "socket closed")
